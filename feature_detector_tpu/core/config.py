@@ -1,0 +1,178 @@
+"""Typed configuration pytrees for the TPU-native feature front-end.
+
+Every options struct in the reference maps 1:1 to a frozen dataclass here, with
+identical defaults, so that a user of the reference can carry their configs over:
+
+- ``DetectorOptions``      <- FeaturePointDetector::Options
+    (reference: src/feature_point_detector/feature_point_detector.h:15-20)
+- ``FastOptions``          <- FeaturePointFastDetector::SubOptions
+    (reference: src/feature_point_detector/feature_point_fast_detector.h:12-15)
+- ``HarrisOptions``        <- FeaturePointHarrisDetector::SubOptions
+    (reference: src/feature_point_detector/feature_point_harris_detector.h:12-15)
+- ``ShiTomasiOptions``     <- FeaturePointShiTomasDetector::SubOptions
+    (reference: src/feature_point_detector/feature_point_shi_tomas_detector.h:12-14)
+- ``BriefOptions``         <- BriefDescriptor::Options
+    (reference: src/feature_descriptor/descriptor_brief.h:16-19)
+- ``LineDetectorOptions``  <- FeatureLineDetector::Options
+    (reference: src/feature_line_detector/feature_line_detector.h:40-45)
+- ``NNDetectorOptions``    <- NNFeaturePointDetector::Options
+    (reference: src/nn_feature_point_detector/nn_feature_point_detector.h:22-31)
+
+All configs are hashable and usable as static jit arguments.  Shape-determining
+fields (``max_features`` etc.) are part of the config so that every jitted
+function specializes on them once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional
+
+
+def _frozen(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_frozen
+class DetectorOptions:
+    """Shared options of the classical point detectors.
+
+    Mirrors FeaturePointDetector::Options (feature_point_detector.h:15-20).
+    """
+
+    min_feature_distance: int = 15
+    grid_filter_row_divide_number: int = 12
+    grid_filter_col_divide_number: int = 12
+    min_valid_response: float = 0.1
+    # --- New-framework shape controls (fixed-shape dataflow, no reference
+    # counterpart: the reference uses dynamic std::vector sizes). ---
+    max_features: int = 256
+
+    def replace(self, **kw) -> "DetectorOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@_frozen
+class FastOptions:
+    """FAST-N sub-options (feature_point_fast_detector.h:12-15)."""
+
+    n: int = 12
+    min_pixel_diff_value: int = 15
+
+
+@_frozen
+class HarrisOptions:
+    """Harris sub-options (feature_point_harris_detector.h:12-15)."""
+
+    alpha: float = 0.04
+    half_patch_size: int = 1
+
+
+@_frozen
+class ShiTomasiOptions:
+    """Shi-Tomasi sub-options (feature_point_shi_tomas_detector.h:12-14).
+
+    NB the reference's response is the *largest* eigenvalue, not the canonical
+    smallest one (feature_point_shi_tomas_detector.cpp:94-104); we preserve that.
+    """
+
+    half_patch_size: int = 1
+
+
+@_frozen
+class BriefOptions:
+    """Steered-BRIEF options (descriptor_brief.h:16-19).
+
+    ``length`` counts binary tests (bits); the packed descriptor is
+    ``length // 32`` uint32 words.
+    """
+
+    length: int = 256
+    half_patch_size: int = 8
+
+    @property
+    def words(self) -> int:
+        return (self.length + 31) // 32
+
+
+@_frozen
+class MatcherOptions:
+    """Hamming matcher for packed BRIEF descriptors.
+
+    No reference counterpart (the reference has no matcher); thresholds follow
+    standard ORB matching practice.
+    """
+
+    max_distance: int = 64
+    cross_check: bool = True
+    ratio: float = 1.0  # Lowe ratio test; 1.0 disables.
+
+
+@_frozen
+class LineDetectorOptions:
+    """LSD options (feature_line_detector.h:40-45)."""
+
+    min_valid_gradient_norm: float = 20.0
+    min_tolerance_angle_residual_in_rad: float = 22.5 * math.pi / 180.0
+    min_valid_line_length_in_pixel: float = 20.0
+    max_tolerance_inlier_ratio: float = 0.6
+    # Fixed-shape controls.
+    max_lines: int = 128
+    # Iteration cap for the label-propagation region growing; covers lines up
+    # to ~2**propagation_steps pixels long on the examples.
+    propagation_steps: int = 64
+
+
+class NNModelType(enum.Enum):
+    """Mirrors NNFeaturePointDetector::ModelType (nn_feature_point_detector.h:15-20)."""
+
+    SUPERPOINT_HEATMAP = 0
+    SUPERPOINT_NMS = 1
+    DISK_HEATMAP = 2
+    DISK_NMS = 3
+
+
+@_frozen
+class NNDetectorOptions:
+    """NN detector options (nn_feature_point_detector.h:22-31)."""
+
+    invalid_boundary: int = 3
+    min_feature_distance: int = 15
+    max_image_rows: int = 480
+    max_image_cols: int = 752
+    max_number_of_detected_features: int = 240
+    min_response: float = 0.1
+    model_type: NNModelType = NNModelType.SUPERPOINT_HEATMAP
+    compute_descriptors: bool = False
+
+    def replace(self, **kw) -> "NNDetectorOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@_frozen
+class BAOptions:
+    """Distributed Schur-complement bundle adjustment (new subsystem; the
+    reference has no back-end)."""
+
+    max_iterations: int = 10
+    huber_delta: float = 1.0
+    damping: float = 1e-4
+    damping_up: float = 4.0
+    damping_down: float = 0.5
+
+
+@_frozen
+class FrontendConfig:
+    """One config pytree covering the whole front-end."""
+
+    detector: DetectorOptions = DetectorOptions()
+    fast: FastOptions = FastOptions()
+    harris: HarrisOptions = HarrisOptions()
+    shi_tomasi: ShiTomasiOptions = ShiTomasiOptions()
+    brief: BriefOptions = BriefOptions()
+    matcher: MatcherOptions = MatcherOptions()
+    line: LineDetectorOptions = LineDetectorOptions()
+    nn: NNDetectorOptions = NNDetectorOptions()
+    ba: BAOptions = BAOptions()

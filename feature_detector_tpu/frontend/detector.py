@@ -1,0 +1,156 @@
+"""Classical point-detector front-end.
+
+Public API mirroring FeaturePointDetector::DetectGoodFeatures /
+SparsifyFeatures (feature_point_detector.h:29-32) with fixed-shape JAX
+semantics: existing features seed the suppression mask and new detections are
+appended (incremental re-detection, quirk Q9).
+
+The whole detect path is one jitted function per (detector kind, config,
+image shape); use `jax.vmap` / `shard_map` over a leading batch axis for
+multi-frame parallelism (see feature_detector_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import (
+    DetectorOptions,
+    FastOptions,
+    HarrisOptions,
+    ShiTomasiOptions,
+)
+from ..core.types import Features
+from ..kernels import detect as K
+
+
+def _candidate_map(image, mask, kind: str, opts, sub):
+    if kind == "harris":
+        resp = K.harris_response(image, mask, opts, sub)
+        return K.nms4(resp, opts.min_valid_response, sub.half_patch_size + 1)
+    if kind == "shi_tomasi":
+        resp = K.shi_tomasi_response(image, mask, opts, sub)
+        return K.nms4(resp, opts.min_valid_response, sub.half_patch_size + 1)
+    if kind == "fast":
+        resp = K.fast_response(image, mask, sub)
+        return K.fast_candidates(resp, opts.min_valid_response)
+    raise ValueError(f"unknown detector kind: {kind}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "needed_num", "opts", "sub", "use_pallas")
+)
+def detect_good_features(
+    image: jnp.ndarray,
+    existing: Features,
+    kind: str,
+    needed_num: int,
+    opts: DetectorOptions = DetectorOptions(),
+    sub=None,
+    use_pallas: bool = False,
+) -> Features:
+    """DetectGoodFeatures (feature_point_detector.cpp:7-25), fixed-shape.
+
+    Args:
+      image: [H, W] uint8 grayscale.
+      existing: already-detected features (capacity = opts.max_features);
+        pass ``Features.empty(opts.max_features)`` for a fresh detection.
+      kind: "harris" | "shi_tomasi" | "fast".
+      needed_num: total feature budget (existing + new), static.
+
+    Returns Features of capacity opts.max_features: the existing prefix
+    followed by new detections.
+    """
+    if sub is None:
+        sub = {
+            "harris": HarrisOptions(),
+            "shi_tomasi": ShiTomasiOptions(),
+            "fast": FastOptions(),
+        }[kind]
+    capacity = opts.max_features
+    assert existing.capacity == capacity
+
+    mask = K.make_suppression_mask(
+        image.shape, existing.uv, existing.valid, opts.min_feature_distance
+    )
+    cand = _candidate_map(image, mask, kind, opts, sub)
+
+    n_existing = existing.count
+    n_stop = jnp.maximum(needed_num - n_existing, 0)
+    # Documented divergence: the reference's needed_num==0 still emits one
+    # feature (the size>=0 check runs only after the first emplace,
+    # feature_point_detector.cpp:66-68); we return none, which is the sane
+    # reading of a zero budget.  max_picks >= 1 keeps shapes non-empty.
+    max_picks = max(1, min(needed_num, capacity))
+    if use_pallas:
+        from ..kernels.greedy_pallas import greedy_select_pallas
+
+        new_uv, new_resp, new_valid = greedy_select_pallas(
+            cand, max_picks, n_stop, opts.min_feature_distance
+        )
+    else:
+        new_uv, new_resp, new_valid = K.greedy_select_lax(
+            cand, max_picks, n_stop, opts.min_feature_distance
+        )
+
+    # Append new picks after the existing prefix (Q9).
+    idx = jnp.arange(capacity)
+    src = jnp.clip(idx - n_existing, 0, max_picks - 1)
+    src_ok = (idx - n_existing) < max_picks
+    from_new = idx >= n_existing
+    uv = jnp.where(from_new[:, None], new_uv[src], existing.uv)
+    resp = jnp.where(from_new & src_ok, new_resp[src], existing.response)
+    valid = jnp.where(from_new, new_valid[src] & src_ok, existing.valid)
+    return Features(uv=uv, response=resp, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("image_rows", "image_cols", "opts"))
+def sparsify_features(
+    features: Features,
+    status: jnp.ndarray,
+    image_rows: int,
+    image_cols: int,
+    status_need_filter: int,
+    status_after_filter: int,
+    opts: DetectorOptions = DetectorOptions(),
+) -> jnp.ndarray:
+    """Grid filter (feature_point_detector.cpp:27-52): first feature (by slot
+    order) to claim a grid cell keeps its status; later claimants with
+    ``status_need_filter`` get ``status_after_filter``.
+
+    The sequential first-wins scan is order-dependent only within a cell, so it
+    maps to a "min slot index per cell" reduction: a feature keeps its status
+    iff it is the first claimant of its cell.
+    """
+    grid_rows = opts.grid_filter_row_divide_number
+    grid_cols = opts.grid_filter_col_divide_number
+    grid_row_step = image_rows / (grid_rows - 1)
+    grid_col_step = image_cols / (grid_cols - 1)
+
+    n = features.uv.shape[0]
+    row = (features.uv[:, 1] / grid_row_step).astype(jnp.int32)
+    col = (features.uv[:, 0] / grid_col_step).astype(jnp.int32)
+    in_grid = (row >= 0) & (row <= grid_rows - 1) & (col >= 0) & (col <= grid_cols - 1)
+    cell = jnp.clip(row, 0, grid_rows - 1) * grid_cols + jnp.clip(col, 0, grid_cols - 1)
+
+    needs = status == status_need_filter
+    # Mirror the reference's in-scan semantics: only features with the
+    # need-filter status claim cells; the first claimant (lowest slot) wins.
+    slot = jnp.arange(n, dtype=jnp.int32)
+    claim_slot = jnp.where(needs & in_grid & features.valid, slot, n)
+    first_claim = (
+        jnp.full((grid_rows * grid_cols,), n, jnp.int32).at[cell].min(claim_slot)
+    )
+    is_first = first_claim[cell] == slot
+
+    out = jnp.where(
+        features.valid & needs & (~in_grid | ~is_first), status_after_filter, status
+    )
+    # Out-of-grid features are filtered regardless of status
+    # (feature_point_detector.cpp:40-43 sets status unconditionally).
+    out = jnp.where(features.valid & ~in_grid, status_after_filter, out)
+    return out

@@ -1,0 +1,267 @@
+"""LSD line-segment detection as data-parallel label propagation.
+
+TPU-first redesign of FeatureLineDetector (feature_line_detector.cpp:12-228).
+The reference grows regions sequentially by BFS from gradient-sorted seeds
+with a running circular-mean angle gate (SURVEY.md §3.4).  That algorithm is
+inherently seed-order-dependent; the TPU formulation (SURVEY.md H2) replaces
+it with:
+
+1. the exact gradient / level-line angle map (feature_line_detector.cpp:56-97),
+2. angle-gated 8-neighbor connected components via iterative min-label
+   propagation (pairwise |angle_i - angle_j| <= tol edges) — a `while_loop`
+   of shifted min reductions that converges in O(longest line) steps,
+3. per-component gradient-weighted inertia rectangle fit via `segment_sum`
+   reductions, reproducing ConvertRegionToRectangle arithmetic exactly
+   (feature_line_detector.cpp:163-228),
+4. the NFA-style min-region-size, length and inlier-ratio filters
+   (feature_line_detector.cpp:17-20,40).
+
+Region membership can differ from the reference near angle-drifting contours;
+parity is asserted on output line segments within tolerance (SURVEY.md H2),
+not on region identity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LineDetectorOptions
+
+
+def line_level_angle_map(
+    image: jnp.ndarray, opts: LineDetectorOptions
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gradient norm / level-line angle / validity on the (rows-1, cols-1)
+    grid; valid region rows/cols in [1, dim-3] (feature_line_detector.cpp:56-97)."""
+    img = image.astype(jnp.float32)
+    rows, cols = image.shape
+    ad = img[1:, 1:] - img[:-1, :-1]
+    bc = img[:-1, 1:] - img[1:, :-1]
+    gx = (ad + bc) * 0.5
+    gy = (ad - bc) * 0.5
+    norm = jnp.sqrt(gx * gx + gy * gy)
+
+    g_rows, g_cols = rows - 1, cols - 1
+    rr = jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 1)
+    interior = (rr >= 1) & (rr < rows - 2) & (cc >= 1) & (cc < cols - 2)
+    valid = interior & (norm > opts.min_valid_gradient_norm)
+    angle = jnp.where(valid, jnp.arctan2(gx, -gy), 0.0)
+    norm = jnp.where(interior, norm, 0.0)
+    return norm, angle, valid
+
+
+def min_region_size(rows: int, cols: int, opts: LineDetectorOptions) -> int:
+    """NFA-style minimum region size (feature_line_detector.cpp:17-20)."""
+    p = opts.min_tolerance_angle_residual_in_rad / math.pi
+    log_nt = (
+        5.0 * (math.log10(float(cols)) + math.log10(float(rows))) / 2.0
+        + math.log10(11.0)
+    )
+    return int(-log_nt / math.log10(p))
+
+
+_SHIFTS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _shift(x: jnp.ndarray, dr: int, dc: int, fill):
+    """Shift so out[r, c] = x[r+dr, c+dc], padding with `fill`."""
+    rows, cols = x.shape
+    padded = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+    return padded[1 + dr : 1 + dr + rows, 1 + dc : 1 + dc + cols]
+
+
+def _angle_diff(a, b):
+    d = a - b
+    d = jnp.where(d > jnp.pi, d - 2 * jnp.pi, d)
+    d = jnp.where(d < -jnp.pi, d + 2 * jnp.pi, d)
+    return d
+
+
+def propagate_labels(
+    angle: jnp.ndarray, valid: jnp.ndarray, opts: LineDetectorOptions
+) -> jnp.ndarray:
+    """Angle-gated 8-neighbor connected components.
+
+    Returns int32 labels (min member flat index per component; -1 where
+    invalid).  Converges when no label changes, capped at
+    opts.propagation_steps sweeps.
+    """
+    g_rows, g_cols = angle.shape
+    tol = opts.min_tolerance_angle_residual_in_rad
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 0) * g_cols
+        + jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 1)
+    )
+    big = jnp.int32(g_rows * g_cols + 1)
+    init = jnp.where(valid, flat, big)
+
+    # Precompute the 8 edge masks once.
+    edges = []
+    for dr, dc in _SHIFTS:
+        n_valid = _shift(valid, dr, dc, False)
+        n_angle = _shift(angle, dr, dc, 0.0)
+        edges.append(valid & n_valid & (jnp.abs(_angle_diff(angle, n_angle)) <= tol))
+    edges = jnp.stack(edges)
+
+    def step(labels):
+        new = labels
+        for k, (dr, dc) in enumerate(_SHIFTS):
+            n_label = _shift(labels, dr, dc, big)
+            new = jnp.minimum(new, jnp.where(edges[k], n_label, big))
+        return new
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < opts.propagation_steps)
+
+    def body(state):
+        labels, _, it = state
+        new = step(labels)
+        # Pointer-jumping acceleration: labels index into the grid, so jump
+        # to the label of your label (doubles effective propagation speed).
+        jumped = jnp.take(new.reshape(-1), jnp.clip(new, 0, big - 2).reshape(-1)).reshape(
+            new.shape
+        )
+        jumped = jnp.where(new < big, jnp.minimum(new, jumped), big)
+        return jumped, jnp.any(jumped != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), jnp.int32(0)))
+    return jnp.where(valid, labels, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "image_shape"))
+def detect_lines_from_maps(
+    norm: jnp.ndarray,
+    angle: jnp.ndarray,
+    valid: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    opts: LineDetectorOptions,
+):
+    """Components -> rectangles -> filtered line segments (fixed capacity).
+
+    Returns (endpoints[max_lines, 4], line_valid[max_lines]) sorted by
+    descending region weight.
+    """
+    rows, cols = image_shape
+    g_rows, g_cols = norm.shape
+    n_seg = g_rows * g_cols
+    labels = propagate_labels(angle, valid, opts)
+
+    # Refinement: pairwise-gated components can drift along curved contours
+    # beyond the reference's running-mean-angle gate
+    # (feature_line_detector.cpp:128-131).  Re-gate every member against its
+    # component's circular-mean angle and re-run CC on the survivors — this
+    # splits drift-merged chains, approximating the reference's acceptance.
+    flat_ids0 = jnp.where(labels >= 0, labels, n_seg).reshape(-1)
+    cos_sum = jax.ops.segment_sum(
+        jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1), flat_ids0, num_segments=n_seg + 1
+    )
+    sin_sum = jax.ops.segment_sum(
+        jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1), flat_ids0, num_segments=n_seg + 1
+    )
+    mean_angle = jnp.arctan2(sin_sum, cos_sum)[:-1]
+    my_mean = jnp.take(mean_angle, jnp.clip(flat_ids0, 0, n_seg - 1)).reshape(angle.shape)
+    keep = valid & (
+        jnp.abs(_angle_diff(my_mean, angle)) <= opts.min_tolerance_angle_residual_in_rad
+    )
+    valid = keep
+    labels = propagate_labels(angle, valid, opts)
+
+    seg_ids = jnp.where(labels >= 0, labels, n_seg).reshape(-1)
+    w = jnp.where(valid, norm, 0.0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (g_rows, g_cols), 1).reshape(-1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (g_rows, g_cols), 0).reshape(-1)
+
+    def seg_sum(vals):
+        return jax.ops.segment_sum(vals, seg_ids, num_segments=n_seg + 1)[:-1]
+
+    cnt = seg_sum(jnp.where(valid.reshape(-1), 1.0, 0.0))
+    sum_w = seg_sum(w)
+    cx = seg_sum(w * xs) / jnp.maximum(sum_w, 1e-12)
+    cy = seg_sum(w * ys) / jnp.maximum(sum_w, 1e-12)
+
+    # Centered second moments (two-pass for f32 accuracy).
+    dx = xs - jnp.take(cx, seg_ids)
+    dy = ys - jnp.take(cy, seg_ids)
+    ixx = seg_sum(w * dy * dy)
+    iyy = seg_sum(w * dx * dx)
+    ixy = -seg_sum(w * dx * dy)
+
+    # Region circular-mean angle (feature_line_detector.cpp:133-135).
+    sum_cos = seg_sum(jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1))
+    sum_sin = seg_sum(jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1))
+    region_angle = jnp.arctan2(sum_sin, sum_cos)
+
+    # Inertia axis (feature_line_detector.cpp:178-198).
+    smallest = 0.5 * (ixx + iyy - jnp.sqrt((ixx - iyy) ** 2 + 4.0 * ixy * ixy))
+    rect_angle = jnp.where(
+        jnp.abs(ixx) > jnp.abs(iyy),
+        jnp.arctan2(smallest - ixx, ixy),
+        jnp.arctan2(ixy, smallest - iyy),
+    )
+    flip = jnp.abs(_angle_diff(rect_angle, region_angle)) > opts.min_tolerance_angle_residual_in_rad
+    flipped = rect_angle + jnp.pi
+    flipped = jnp.where(flipped >= jnp.pi, flipped - 2 * jnp.pi, flipped)
+    rect_angle = jnp.where(flip, flipped, rect_angle)
+    dvx = jnp.cos(rect_angle)
+    dvy = jnp.sin(rect_angle)
+
+    # Extent projections, ranges including 0 (feature_line_detector.cpp:204-217).
+    proj_l = dx * jnp.take(dvx, seg_ids) + dy * jnp.take(dvy, seg_ids)
+    proj_w = -dx * jnp.take(dvy, seg_ids) + dy * jnp.take(dvx, seg_ids)
+    neg_inf = jnp.float32(-3e38)
+    occupied = valid.reshape(-1)
+
+    def seg_max(vals):
+        return jax.ops.segment_max(
+            jnp.where(occupied, vals, neg_inf), seg_ids, num_segments=n_seg + 1
+        )[:-1]
+
+    lmax = jnp.maximum(seg_max(proj_l), 0.0)
+    lmin = -jnp.maximum(seg_max(-proj_l), 0.0)
+    wmax = jnp.maximum(seg_max(proj_w), 0.0)
+    wmin = -jnp.maximum(seg_max(-proj_w), 0.0)
+
+    raw_length = lmax - lmin
+    length = jnp.maximum(raw_length, 1.0)
+    width = jnp.maximum(wmax - wmin, 1.0)
+    area = raw_length * width
+    inlier_ratio = cnt / jnp.maximum(area, 1e-12)
+
+    # Filters (feature_line_detector.cpp:17-20,40) + degenerate-moment rule Q6.
+    msize = min_region_size(rows, cols, opts)
+    ok = (
+        (cnt >= msize)
+        & (sum_w > 0)
+        & (ixx != 0)
+        & (iyy != 0)
+        & (ixy != 0)
+        & (length >= opts.min_valid_line_length_in_pixel)
+        & (inlier_ratio >= opts.max_tolerance_inlier_ratio)
+    )
+
+    score = jnp.where(ok, sum_w, -1.0)
+    top_score, top_idx = jax.lax.top_k(score, opts.max_lines)
+    line_valid = top_score > 0
+
+    sx = cx + lmin * dvx + 0.5
+    sy = cy + lmin * dvy + 0.5
+    ex = cx + lmax * dvx + 0.5
+    ey = cy + lmax * dvy + 0.5
+    endpoints = jnp.stack(
+        [
+            jnp.take(sx, top_idx),
+            jnp.take(sy, top_idx),
+            jnp.take(ex, top_idx),
+            jnp.take(ey, top_idx),
+        ],
+        axis=-1,
+    )
+    endpoints = jnp.where(line_valid[:, None], endpoints, 0.0)
+    return endpoints, line_valid

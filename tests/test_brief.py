@@ -1,0 +1,147 @@
+"""BRIEF kernel + Hamming matcher vs the NumPy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from feature_detector_tpu.core.config import BriefOptions, DetectorOptions, MatcherOptions
+from feature_detector_tpu.core.types import Features
+from feature_detector_tpu.frontend.descriptor import compute_descriptors
+from feature_detector_tpu.match.hamming import match_hamming
+from feature_detector_tpu.oracle import brief as oracle
+from feature_detector_tpu.oracle import detectors as odet
+
+
+def _features_on(image, n=20, seed=0):
+    rng = np.random.default_rng(seed)
+    h, w = image.shape
+    uv = np.stack(
+        [rng.uniform(25, w - 25, n), rng.uniform(25, h - 25, n)], axis=-1
+    ).astype(np.float32)
+    return uv
+
+
+def _unpack(words, length):
+    bits = np.unpackbits(words.view(np.uint8), axis=-1, bitorder="little")
+    return bits[:, :length]
+
+
+def _assert_bits_match_modulo_ties(image, uv, got_words, want_bits, opts):
+    """Bits must match exactly except where the intensity test is a near-tie
+    (f32 rounding/FMA order differs between XLA and NumPy on exact ties)."""
+    got_bits = _unpack(got_words, opts.length)
+    mism = got_bits != want_bits
+    if not mism.any():
+        return
+    # Recompute test margins with the oracle's sampler; mismatches are only
+    # acceptable on near-zero margins.
+    from feature_detector_tpu.oracle.brief_pattern import BRIEF_PATTERN
+
+    for i, j in zip(*np.nonzero(mism)):
+        x, y = float(uv[i][0]), float(uv[i][1])
+        # Orientation per oracle.
+        half = opts.half_patch_size
+        d = np.arange(-half, half + 1, dtype=np.float32)
+        dxg, dyg = np.meshgrid(d, d, indexing="xy")
+        vals = oracle.bilinear(image, y + dyg, x + dxg)
+        m10, m01 = float((dxg * vals).sum()), float((dyg * vals).sum())
+        m = np.hypot(m10, m01)
+        st, ct = m01 / m, m10 / m
+        p = BRIEF_PATTERN[j].astype(np.float32)
+        v1 = oracle.bilinear(image, st * p[0] + ct * p[1] + y, ct * p[0] - st * p[1] + x)
+        v2 = oracle.bilinear(image, st * p[2] + ct * p[3] + y, ct * p[2] - st * p[3] + x)
+        assert abs(float(v1) - float(v2)) < 0.05, (
+            f"non-tie bit mismatch at feature {i} bit {j}: {v1} vs {v2}"
+        )
+    # And ties must be rare.
+    assert mism.sum() <= max(2, 0.005 * want_bits.size)
+
+
+class TestBriefKernel:
+    def test_matches_oracle_random_centers(self, image):
+        opts = BriefOptions()
+        uv = _features_on(image, 32)
+        want_bits, want_valid = oracle.compute(image, uv, opts)
+
+        f = Features.from_numpy(uv, 64)
+        d = compute_descriptors(jnp.asarray(image), f, opts)
+        got_words = np.asarray(d.words)[:32]
+        got_valid = np.asarray(d.valid)[:32]
+        np.testing.assert_array_equal(got_valid, want_valid)
+        _assert_bits_match_modulo_ties(image, uv, got_words, want_bits, opts)
+
+    def test_length_128(self, image):
+        opts = BriefOptions(length=128)
+        uv = _features_on(image, 8, seed=3)
+        want_bits, want_valid = oracle.compute(image, uv, opts)
+        f = Features.from_numpy(uv, 16)
+        d = compute_descriptors(jnp.asarray(image), f, opts)
+        assert d.words.shape == (16, 4)
+        np.testing.assert_array_equal(np.asarray(d.valid)[:8], want_valid)
+        _assert_bits_match_modulo_ties(image, uv, np.asarray(d.words)[:8], want_bits, opts)
+
+    def test_border_rejection_zero_descriptor(self, image):
+        """Out-of-border features keep all-zero descriptors, valid=False (Q5)."""
+        uv = np.array([[5.0, 5.0], [image.shape[1] - 2.0, 40.0]], np.float32)
+        f = Features.from_numpy(uv, 8)
+        d = compute_descriptors(jnp.asarray(image), f, BriefOptions())
+        assert not np.asarray(d.valid)[:2].any()
+        assert np.asarray(d.words)[:2].sum() == 0
+
+    def test_on_detected_corners(self, small_image):
+        """Descriptor parity on real detector output (test_feature_descriptor.cpp flow)."""
+        opts = DetectorOptions(min_feature_distance=20, min_valid_response=20.0, max_features=64)
+        feats = odet.detect_good_features(small_image, 10, "harris", opts)
+        uv = np.asarray(feats, np.float32)
+        bopts = BriefOptions(length=128)
+        want_bits, want_valid = oracle.compute(small_image, uv, bopts)
+        f = Features.from_numpy(uv, 64)
+        d = compute_descriptors(jnp.asarray(small_image), f, bopts)
+        _assert_bits_match_modulo_ties(
+            small_image, uv, np.asarray(d.words)[: len(uv)], want_bits, bopts
+        )
+
+
+class TestHammingMatcher:
+    def test_distance_matrix_matches_oracle(self, rng):
+        wa = rng.integers(0, 2**32, size=(16, 8), dtype=np.uint32)
+        wb = rng.integers(0, 2**32, size=(24, 8), dtype=np.uint32)
+        want = oracle.hamming_distance(wa, wb)
+        from feature_detector_tpu.match.hamming import hamming_distance_matrix
+
+        got = np.asarray(
+            hamming_distance_matrix(
+                jnp.asarray(wa), jnp.asarray(wb),
+                jnp.ones(16, bool), jnp.ones(24, bool),
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_identity_match(self, rng):
+        w = rng.integers(0, 2**32, size=(10, 8), dtype=np.uint32)
+        m = match_hamming(
+            jnp.asarray(w), jnp.ones(10, bool), jnp.asarray(w), jnp.ones(10, bool),
+            MatcherOptions(max_distance=0),
+        )
+        np.testing.assert_array_equal(np.asarray(m.index), np.arange(10))
+        assert np.asarray(m.valid).all()
+
+    def test_cross_check_rejects_collisions(self):
+        # Two A-rows close to the same B-row: only the mutual best survives.
+        wa = np.zeros((2, 8), np.uint32)
+        wa[1, 0] = 1  # distance 1 from b0
+        wb = np.zeros((1, 8), np.uint32)
+        m = match_hamming(
+            jnp.asarray(wa), jnp.ones(2, bool), jnp.asarray(wb), jnp.ones(1, bool),
+            MatcherOptions(max_distance=64, cross_check=True),
+        )
+        got = np.asarray(m.valid)
+        assert got[0] and not got[1]
+
+    def test_invalid_slots_never_match(self, rng):
+        w = rng.integers(0, 2**32, size=(6, 8), dtype=np.uint32)
+        valid = np.array([True, True, False, True, False, True])
+        m = match_hamming(
+            jnp.asarray(w), jnp.asarray(valid), jnp.asarray(w), jnp.asarray(valid),
+            MatcherOptions(max_distance=256),
+        )
+        assert not np.asarray(m.valid)[~valid].any()
