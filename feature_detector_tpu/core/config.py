@@ -161,6 +161,10 @@ class BAOptions:
     damping: float = 1e-4
     damping_up: float = 4.0
     damping_down: float = 0.5
+    # Cameras frozen for gauge fixing.  Monocular BA has a 7-dof gauge
+    # (pose + global scale): freezing two cameras pins all of it; pure
+    # pose-graph problems need only 1.
+    num_fixed_cameras: int = 2
 
 
 @_frozen

@@ -20,14 +20,32 @@ from ..core.types import Matches
 _BIG = jnp.int32(1 << 20)
 
 
+def _unpack_pm1(words: jnp.ndarray) -> jnp.ndarray:
+    """[N, W] uint32 -> [N, 32*W] bfloat16 in {-1, +1} (bit j of word w maps
+    to column 32*w + j, the brief_compute packing order)."""
+    n, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return (bits.reshape(n, 32 * w).astype(jnp.float32) * 2.0 - 1.0).astype(jnp.bfloat16)
+
+
 def hamming_distance_matrix(
     words_a: jnp.ndarray, words_b: jnp.ndarray,
     valid_a: jnp.ndarray, valid_b: jnp.ndarray,
 ) -> jnp.ndarray:
     """[Na, W] x [Nb, W] -> [Na, Nb] int32; invalid rows/cols get a large
-    sentinel distance."""
-    x = words_a[:, None, :] ^ words_b[None, :, :]
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    sentinel distance.
+
+    TPU-native formulation: XOR-popcount re-expressed as an MXU matmul over
+    +/-1 vectors — dist = (L - a.b) / 2, exact in f32 accumulation (L <= 2048
+    << 2^24).  Integer popcount is emulated (slow) on the VPU; the MXU does
+    the whole [Na, Nb] panel in microseconds.
+    """
+    length = 32 * words_a.shape[-1]
+    a = _unpack_pm1(words_a)
+    b = _unpack_pm1(words_b)
+    dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    d = ((length - dot) * 0.5).astype(jnp.int32)
     d = jnp.where(valid_a[:, None] & valid_b[None, :], d, _BIG)
     return d
 
@@ -45,10 +63,11 @@ def match_hamming(
 
     best_j = jnp.argmin(d, axis=1).astype(jnp.int32)
     best = jnp.min(d, axis=1)
-    # Second best for the ratio test.
-    na = d.shape[0]
-    d2 = d.at[jnp.arange(na), best_j].set(_BIG)
-    second = jnp.min(d2, axis=1)
+    # Second best for the ratio test (one-hot mask instead of scatter: scatters
+    # under vmap explode TPU compile time).
+    na, nb = d.shape
+    is_best = jnp.arange(nb, dtype=jnp.int32)[None, :] == best_j[:, None]
+    second = jnp.min(jnp.where(is_best, _BIG, d), axis=1)
 
     ok = valid_a & (best <= opts.max_distance)
     if opts.ratio < 1.0:

@@ -86,9 +86,11 @@ def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams):
     Jp = Jp * sw
     rw = r * jnp.sqrt(w)[..., None]
 
-    # Landmark blocks.
+    # Landmark blocks; trace-relative damping keeps outlier-downweighted
+    # landmarks (near-zero Huber weight) from producing exploding inverses.
     Hpp = jnp.einsum("ldki,ldkj->lij", Jp, Jp)            # [L, 3, 3]
-    Hpp = Hpp + opts.damping * jnp.eye(3)
+    tr = jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None]
+    Hpp = Hpp + (opts.damping * tr + 1e-5) * jnp.eye(3)
     bp = -jnp.einsum("ldki,ldk->li", Jp, rw)              # [L, 3]
     Hpp_inv = jnp.linalg.inv(Hpp)
 
@@ -116,16 +118,19 @@ def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams):
     return S.reshape(6 * n_cams, 6 * n_cams), b.reshape(-1), Hpp_inv, bp, W, valid, cam_idx
 
 
-def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts):
+def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam):
     n_cams = rot.shape[0]
-    # Gauge fix: freeze camera 0 by pinning its 6x6 block.
-    big = 1e12
-    S = S.at[:6, :].set(0.0).at[:, :6].set(0.0)
-    S = S.at[jnp.arange(6), jnp.arange(6)].set(big)
-    b = b.at[:6].set(0.0)
-    S = S + opts.damping * jnp.eye(6 * n_cams)
+    # Gauge fix: freeze the first num_fixed_cameras by replacing their blocks
+    # with identity (keeps the system well-scaled in f32).
+    k = 6 * max(1, min(opts.num_fixed_cameras, n_cams))
+    S = S.at[:k, :].set(0.0).at[:, :k].set(0.0)
+    S = S.at[jnp.arange(k), jnp.arange(k)].set(1.0)
+    b = b.at[:k].set(0.0)
+    # Levenberg-Marquardt diagonal-relative damping + absolute jitter.
+    diag = jnp.diagonal(S)
+    S = S + jnp.diag(lam * diag + 1e-6)
 
-    dx_cam = jax.scipy.linalg.solve(S, b, assume_a="pos").reshape(n_cams, 6)
+    dx_cam = jax.scipy.linalg.solve(S, b).reshape(n_cams, 6)
     rot2, trans2 = se3_update(rot, trans, dx_cam)
 
     # Back-substitute landmarks: dp = Hpp^-1 (bp - W^T dx_cam(observers)).
@@ -142,20 +147,40 @@ def reprojection_cost(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> jnp.
     return jnp.sum(jnp.sum(r * r, -1) * w) / jnp.maximum(jnp.sum(valid), 1)
 
 
+def _cost(rot, trans, points, obs_cam, obs_uv, cam, opts):
+    valid, r, _, _, w = _per_landmark_blocks(rot, trans, points, obs_cam, obs_uv, cam, opts)
+    return jnp.sum(jnp.sum(r * r, -1) * w)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "opts"))
 def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions()) -> BAProblem:
-    """Single-device Gauss-Newton/LM loop (fixed iteration count)."""
+    """Single-device Levenberg-Marquardt loop: fixed trip count, accept/reject
+    steps with adaptive damping (rejected steps raise lambda and retry)."""
 
     def body(_, state):
-        rot, trans, points = state
+        rot, trans, points, lam, cost = state
         out = _assemble(
             rot, trans, points, problem.obs_cam, problem.obs_uv, cam, opts, rot.shape[0]
         )
-        rot, trans, points, _ = _solve_and_update(rot, trans, points, *out, opts)
-        return rot, trans, points
+        rot2, trans2, points2, _ = _solve_and_update(rot, trans, points, *out, opts, lam)
+        new_cost = _cost(rot2, trans2, points2, problem.obs_cam, problem.obs_uv, cam, opts)
+        accept = new_cost < cost
+        rot = jnp.where(accept, rot2, rot)
+        trans = jnp.where(accept, trans2, trans)
+        points = jnp.where(accept, points2, points)
+        lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
+        lam = jnp.clip(lam, 1e-9, 1e3)
+        cost = jnp.where(accept, new_cost, cost)
+        return rot, trans, points, lam, cost
 
-    rot, trans, points = jax.lax.fori_loop(
-        0, opts.max_iterations, body, (problem.rot, problem.trans, problem.points)
+    cost0 = _cost(
+        problem.rot, problem.trans, problem.points, problem.obs_cam, problem.obs_uv, cam, opts
+    )
+    rot, trans, points, _, _ = jax.lax.fori_loop(
+        0,
+        opts.max_iterations,
+        body,
+        (problem.rot, problem.trans, problem.points, jnp.float32(opts.damping), cost0),
     )
     return problem._replace(rot=rot, trans=trans, points=points)
 
@@ -179,18 +204,35 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
     def step_sharded(rot, trans, points, obs_cam, obs_uv):
         n_cams = rot.shape[0]
 
+        def cost_fn(rot, trans, points):
+            return jax.lax.psum(_cost(rot, trans, points, obs_cam, obs_uv, cam, opts), axis)
+
         def body(_, state):
-            rot, trans, points = state
+            rot, trans, points, lam, cost = state
             S, b, Hpp_inv, bp, W, valid, cam_idx = _assemble(
                 rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams
             )
             # Reduce the camera system over all landmark shards (ICI psum).
             S = jax.lax.psum(S, axis)
             b = jax.lax.psum(b, axis)
-            return _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts)[:3]
+            rot2, trans2, points2, _ = _solve_and_update(
+                rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam
+            )
+            new_cost = cost_fn(rot2, trans2, points2)
+            accept = new_cost < cost
+            rot = jnp.where(accept, rot2, rot)
+            trans = jnp.where(accept, trans2, trans)
+            points = jnp.where(accept, points2, points)
+            lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
+            lam = jnp.clip(lam, 1e-9, 1e3)
+            cost = jnp.where(accept, new_cost, cost)
+            return rot, trans, points, lam, cost
 
-        rot, trans, points = jax.lax.fori_loop(
-            0, opts.max_iterations, body, (rot, trans, points)
+        rot, trans, points, _, _ = jax.lax.fori_loop(
+            0,
+            opts.max_iterations,
+            body,
+            (rot, trans, points, jnp.float32(opts.damping), cost_fn(rot, trans, points)),
         )
         return rot, trans, points
 

@@ -83,13 +83,14 @@ def pose_graph_solve(graph: PoseGraph, opts: BAOptions = BAOptions()) -> PoseGra
 
         Hf = H.reshape(6 * n, 6 * n)
         bf = b.reshape(-1)
-        big = 1e12
-        Hf = Hf.at[:6, :].set(0.0).at[:, :6].set(0.0)
-        Hf = Hf.at[jnp.arange(6), jnp.arange(6)].set(big)
-        bf = bf.at[:6].set(0.0)
-        Hf = Hf + opts.damping * jnp.eye(6 * n)
+        k = 6 * max(1, min(opts.num_fixed_cameras, n))
+        Hf = Hf.at[:k, :].set(0.0).at[:, :k].set(0.0)
+        Hf = Hf.at[jnp.arange(k), jnp.arange(k)].set(1.0)
+        bf = bf.at[:k].set(0.0)
+        diag = jnp.diagonal(Hf)
+        Hf = Hf + jnp.diag(opts.damping * diag + 1e-6)
 
-        dx = jax.scipy.linalg.solve(Hf, bf, assume_a="pos").reshape(n, 6)
+        dx = jax.scipy.linalg.solve(Hf, bf).reshape(n, 6)
         rot, trans = se3_update(rot, trans, dx)
         return rot, trans
 

@@ -1,0 +1,190 @@
+"""SLAM back-end: Lie-group roundtrips, BA convergence on a synthetic
+problem, distributed (landmark-sharded, psum-reduced) BA parity, pose graph."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from feature_detector_tpu.core.config import BAOptions
+from feature_detector_tpu.slam import lie
+from feature_detector_tpu.slam.ba import BAProblem, ba_solve, make_distributed_ba, reprojection_cost
+from feature_detector_tpu.slam.camera import Pinhole, project
+from feature_detector_tpu.slam.pose_graph import PoseGraph, pose_graph_solve
+
+CAM = Pinhole(fx=400.0, fy=400.0, cx=376.0, cy=240.0)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+class TestLie:
+    def test_exp_log_roundtrip(self):
+        rng = _rng(1)
+        w = rng.normal(size=(32, 3)).astype(np.float32) * 0.8
+        r = lie.so3_exp(jnp.asarray(w))
+        w2 = np.asarray(lie.so3_log(r))
+        np.testing.assert_allclose(w2, w, rtol=1e-3, atol=1e-4)
+
+    def test_rotation_orthonormal(self):
+        rng = _rng(2)
+        w = rng.normal(size=(8, 3)).astype(np.float32)
+        r = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        eye = np.einsum("bij,bkj->bik", r, r)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (8, 3, 3)), atol=1e-5)
+
+    def test_compose_inverse(self):
+        rng = _rng(3)
+        w = rng.normal(size=(3,)).astype(np.float32)
+        t = rng.normal(size=(3,)).astype(np.float32)
+        r = lie.so3_exp(jnp.asarray(w))
+        ri, ti = lie.se3_inverse(r, jnp.asarray(t))
+        rc, tc = lie.se3_compose(r, jnp.asarray(t), ri, ti)
+        np.testing.assert_allclose(np.asarray(rc), np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tc), 0, atol=1e-6)
+
+
+def synthetic_ba(rng, n_cams=6, n_pts=64, deg=4, noise=0.0):
+    """Cameras on an arc looking at a point cloud; every landmark observed by
+    ``deg`` consecutive cameras."""
+    pts = rng.uniform(-2, 2, size=(n_pts, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    rots, trans = [], []
+    for i in range(n_cams):
+        angle = 0.1 * (i - n_cams / 2)
+        r = np.asarray(lie.so3_exp(jnp.asarray([0.0, angle, 0.0])))
+        c = np.array([2.0 * np.sin(angle), 0.0, -0.5 * np.cos(angle)], np.float32)
+        rots.append(r)
+        trans.append(-r @ c)
+    rots = np.stack(rots).astype(np.float32)
+    trans = np.stack(trans).astype(np.float32)
+
+    obs_cam = np.full((n_pts, deg), -1, np.int32)
+    obs_uv = np.zeros((n_pts, deg, 2), np.float32)
+    for l in range(n_pts):
+        start = l % (n_cams - deg + 1)
+        for d in range(deg):
+            ci = start + d
+            p = rots[ci] @ pts[l] + trans[ci]
+            uv = np.asarray(project(jnp.asarray(p), CAM))
+            obs_cam[l, d] = ci
+            obs_uv[l, d] = uv + rng.normal(size=2).astype(np.float32) * noise
+    return BAProblem(
+        rot=jnp.asarray(rots),
+        trans=jnp.asarray(trans),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(obs_uv),
+    )
+
+
+def perturb(problem, rng, pose_sigma=0.02, point_sigma=0.05):
+    n_cams = problem.rot.shape[0]
+    dw = rng.normal(size=(n_cams, 3)).astype(np.float32) * pose_sigma
+    dt = rng.normal(size=(n_cams, 3)).astype(np.float32) * pose_sigma
+    dw[:2] = 0
+    dt[:2] = 0  # keep the gauge anchor cameras (0, 1) at truth
+    rot = lie.so3_exp(jnp.asarray(dw)) @ problem.rot
+    trans = problem.trans + jnp.asarray(dt)
+    pts = problem.points + jnp.asarray(
+        rng.normal(size=problem.points.shape).astype(np.float32) * point_sigma
+    )
+    return problem._replace(rot=rot, trans=trans, points=pts)
+
+
+class TestBA:
+    def test_converges_to_ground_truth(self):
+        rng = _rng(4)
+        gt = synthetic_ba(rng)
+        noisy = perturb(gt, rng)
+        opts = BAOptions(max_iterations=15, damping=1e-6, huber_delta=1e9)
+        c0 = float(reprojection_cost(noisy, CAM, opts))
+        solved = ba_solve(noisy, CAM, opts)
+        c1 = float(reprojection_cost(solved, CAM, opts))
+        assert c0 > 1.0, c0
+        assert c1 < 1e-3, (c0, c1)
+
+    def test_robust_to_outliers(self):
+        rng = _rng(0)
+        gt = synthetic_ba(rng)
+        obs_uv = np.asarray(gt.obs_uv).copy()
+        obs_uv[::13, 0] += 80.0  # gross outliers
+        noisy = perturb(gt._replace(obs_uv=jnp.asarray(obs_uv)), rng)
+        opts = BAOptions(max_iterations=15, damping=1e-4, huber_delta=2.0)
+        solved = ba_solve(noisy, CAM, opts)
+        # Residuals of UNCORRUPTED landmarks must be small (the corrupted
+        # landmarks' 3D points legitimately absorb some outlier pull).
+        keep = np.ones(gt.points.shape[0], bool)
+        keep[::13] = False
+        clean = solved._replace(
+            obs_uv=gt.obs_uv[keep],
+            obs_cam=gt.obs_cam[keep],
+            points=solved.points[keep],
+        )
+        c = float(reprojection_cost(clean, CAM, BAOptions(huber_delta=1e9)))
+        assert c < 0.1, c
+        # And the full solve must not have diverged.
+        full = float(reprojection_cost(solved._replace(obs_uv=gt.obs_uv), CAM, BAOptions(huber_delta=1e9)))
+        assert full < 5.0, full
+
+    def test_distributed_matches_single_device(self):
+        rng = _rng(5)
+        from feature_detector_tpu.parallel.mesh import make_mesh
+
+        gt = synthetic_ba(rng, n_pts=64)
+        noisy = perturb(gt, rng)
+        opts = BAOptions(max_iterations=8, damping=1e-6, huber_delta=1e9)
+        single = ba_solve(noisy, CAM, opts)
+
+        mesh = make_mesh((8,), ("data",))
+        dist = make_distributed_ba(mesh, CAM, opts)(noisy)
+        np.testing.assert_allclose(
+            np.asarray(dist.trans), np.asarray(single.trans), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.points), np.asarray(single.points), rtol=1e-3, atol=1e-3
+        )
+
+
+class TestPoseGraph:
+    def test_loop_closure_converges(self):
+        rng = _rng(6)
+        # Ring of 8 poses with odometry + one loop-closure edge.
+        n = 8
+        rots, trans = [], []
+        for i in range(n):
+            a = 2 * np.pi * i / n
+            rots.append(np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, a]))))
+            trans.append(np.array([np.cos(a), np.sin(a), 0.0], np.float32))
+        rots = np.stack(rots).astype(np.float32)
+        trans = np.stack(trans).astype(np.float32)
+
+        edges_i, edges_j, er, et = [], [], [], []
+        for i in range(n):
+            j = (i + 1) % n
+            ri, ti_ = jnp.asarray(rots[i]), jnp.asarray(trans[i])
+            rj, tj_ = jnp.asarray(rots[j]), jnp.asarray(trans[j])
+            inv_r, inv_t = lie.se3_inverse(ri, ti_)
+            rr, rt = lie.se3_compose(inv_r, inv_t, rj, tj_)
+            edges_i.append(i)
+            edges_j.append(j)
+            er.append(np.asarray(rr))
+            et.append(np.asarray(rt))
+
+        dw = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+        dt = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+        dw[0] = dt[0] = 0
+        noisy_rot = np.asarray(lie.so3_exp(jnp.asarray(dw))) @ rots
+        noisy_trans = trans + dt
+
+        graph = PoseGraph(
+            rot=jnp.asarray(noisy_rot),
+            trans=jnp.asarray(noisy_trans),
+            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+            edge_rot=jnp.asarray(np.stack(er)),
+            edge_trans=jnp.asarray(np.stack(et)),
+        )
+        solved = pose_graph_solve(graph, BAOptions(max_iterations=10, damping=1e-6, num_fixed_cameras=1))
+        np.testing.assert_allclose(np.asarray(solved.trans), trans, atol=5e-3)
