@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for greedy response-ordered feature selection.
+
+VMEM-resident variant of `kernels.detect.greedy_select_lax` (the semantics of
+FeaturePointDetector::SelectGoodFeatures, feature_point_detector.cpp:54-74;
+SURVEY.md hard part H1): the candidate map is copied to VMEM once and the
+whole argmax + square-suppression loop runs on-chip, so no per-iteration HBM
+round trips and no per-iteration kernel launches.
+
+The loop is a `lax.while_loop` that exits as soon as the map is exhausted or
+the pick budget is met, so sparse images pay only for the picks they produce.
+
+Output layout: one (128,)-lane row per pick — lanes [0..3] = (x, y, response,
+taken) — written as a single vector store per iteration; unpacked by the
+wrapper. This keeps every store a full-lane VMEM write instead of scalar
+scatter traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(n_stop_ref, cand_ref, out_ref, work_ref, rowmax_ref, radius: int):
+    rows, cols = work_ref.shape
+    max_picks = out_ref.shape[0]
+    # Suppression window height (static); clamped for tiny images.
+    S = min(2 * radius + 1, rows)
+
+    work_ref[:] = cand_ref[:]
+    rowmax_ref[:] = jnp.max(cand_ref[:], axis=1, keepdims=True)
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    blk_row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    blk_col_iota = jax.lax.broadcasted_iota(jnp.int32, (S, cols), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    n_stop = n_stop_ref[0]
+
+    def cond(state):
+        i, cont = state
+        return (i < max_picks) & cont
+
+    def body(state):
+        i, _ = state
+        # Hierarchical argmax: cached per-row maxima -> winning row -> column.
+        # First maximum in row-major order (first max row, then first max
+        # column), matching the lax version's flat argmax tie-break.
+        rmax = rowmax_ref[:]
+        val = jnp.max(rmax)
+        y = jnp.min(jnp.where(rmax == val, row_iota, rows))
+        winning = work_ref[pl.ds(y, 1), :]
+        x = jnp.min(jnp.where(winning == val, col_iota, cols))
+        take = (val > 0.0) & (i < n_stop)
+
+        row = jnp.where(
+            lane == 0,
+            x.astype(jnp.float32),
+            jnp.where(
+                lane == 1,
+                y.astype(jnp.float32),
+                jnp.where(
+                    lane == 2,
+                    val,
+                    jnp.where(lane == 3, take.astype(jnp.float32), 0.0),
+                ),
+            ),
+        )
+        out_ref[pl.ds(i, 1), :] = jnp.where(take, row, jnp.zeros_like(row))
+
+        # Suppress the (2r+1)^2 square: only rows [y-r, y+r] change, so only
+        # an S-row band is rewritten and its row maxima recomputed.
+        y0 = jnp.clip(y - radius, 0, rows - S)
+        band = work_ref[pl.ds(y0, S), :]
+        in_rows = jnp.abs(blk_row_iota + y0 - y) <= radius
+        in_cols = jnp.abs(blk_col_iota - x) <= radius
+        band = jnp.where(take & in_rows & in_cols, 0.0, band)
+        work_ref[pl.ds(y0, S), :] = band
+        rowmax_ref[pl.ds(y0, S), :] = jnp.max(band, axis=1, keepdims=True)
+        return i + 1, take
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+
+
+@functools.partial(jax.jit, static_argnames=("max_picks", "radius", "interpret"))
+def _greedy_pallas(cand_map, max_picks: int, n_stop, radius: int, interpret: bool):
+    rows, cols = cand_map.shape
+    rows_p = _round_up(rows, 8)
+    cols_p = _round_up(cols, 128)
+    padded = jnp.pad(
+        cand_map.astype(jnp.float32), ((0, rows_p - rows), (0, cols_p - cols))
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, radius=radius),
+        out_shape=jax.ShapeDtypeStruct((max_picks, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows_p, cols_p), jnp.float32),
+            pltpu.VMEM((rows_p, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(n_stop, jnp.int32).reshape(1), padded)
+
+    uv = out[:, 0:2]
+    resp = out[:, 2]
+    valid = out[:, 3] > 0.5
+    return uv, resp, valid
+
+
+def greedy_select_pallas(cand_map, max_picks: int, n_stop, radius: int):
+    """Drop-in replacement for `greedy_select_lax` running fully in VMEM.
+
+    Args/returns identical to `kernels.detect.greedy_select_lax`; falls back
+    to the Pallas interpreter off-TPU so tests exercise identical code paths
+    on the CPU mesh.
+    """
+    interpret = jax.devices()[0].platform != "tpu"
+    return _greedy_pallas(cand_map, max_picks, n_stop, radius, interpret)
