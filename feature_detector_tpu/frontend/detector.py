@@ -51,7 +51,7 @@ def detect_good_features(
     needed_num: int,
     opts: DetectorOptions = DetectorOptions(),
     sub=None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Features:
     """DetectGoodFeatures (feature_point_detector.cpp:7-25), fixed-shape.
 
@@ -71,6 +71,10 @@ def detect_good_features(
             "shi_tomasi": ShiTomasiOptions(),
             "fast": FastOptions(),
         }[kind]
+    if use_pallas is None:
+        # Auto: the VMEM-resident Pallas selection kernel is the fast path on
+        # TPU; off-TPU the pure-lax loop avoids the interpreter overhead.
+        use_pallas = jax.devices()[0].platform == "tpu"
     capacity = opts.max_features
     assert existing.capacity == capacity
 

@@ -9,10 +9,13 @@ round trips and no per-iteration kernel launches.
 The loop is a `lax.while_loop` that exits as soon as the map is exhausted or
 the pick budget is met, so sparse images pay only for the picks they produce.
 
-Output layout: one (128,)-lane row per pick — lanes [0..3] = (x, y, response,
-taken) — written as a single vector store per iteration; unpacked by the
-wrapper. This keeps every store a full-lane VMEM write instead of scalar
-scatter traffic.
+TPU layout rules honored here (Mosaic rejects anything else):
+- every dynamic row slice of a f32 VMEM buffer starts on a sublane (8-row)
+  boundary and spans a multiple of 8 rows — the suppression band is widened
+  to the enclosing 8-aligned window and the winning row is read as its
+  8-row sublane group;
+- per-pick scalar results (x, y, response, taken) go to SMEM, where scalar
+  stores have no alignment constraints.
 """
 
 from __future__ import annotations
@@ -32,18 +35,20 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(n_stop_ref, cand_ref, out_ref, work_ref, rowmax_ref, radius: int):
     rows, cols = work_ref.shape
     max_picks = out_ref.shape[0]
-    # Suppression window height (static); clamped for tiny images.
-    S = min(2 * radius + 1, rows)
+    # Suppression band height: an 8-aligned band start can sit up to 7 rows
+    # above y-radius, so cover 2*radius+8, rounded up to a sublane multiple.
+    S = min(_round_up(2 * radius + 8, 8), rows)
 
     work_ref[:] = cand_ref[:]
     rowmax_ref[:] = jnp.max(cand_ref[:], axis=1, keepdims=True)
-    out_ref[:] = jnp.zeros_like(out_ref)
+    for k in range(4):
+        out_ref[0, k] = 0.0
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, cols), 1)
+    win_row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, cols), 0)
     blk_row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     blk_col_iota = jax.lax.broadcasted_iota(jnp.int32, (S, cols), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     n_stop = n_stop_ref[0]
 
     def cond(state):
@@ -58,28 +63,23 @@ def _kernel(n_stop_ref, cand_ref, out_ref, work_ref, rowmax_ref, radius: int):
         rmax = rowmax_ref[:]
         val = jnp.max(rmax)
         y = jnp.min(jnp.where(rmax == val, row_iota, rows))
-        winning = work_ref[pl.ds(y, 1), :]
-        x = jnp.min(jnp.where(winning == val, col_iota, cols))
+        # Read the winning row via its 8-aligned sublane group.
+        y8 = pl.multiple_of((y // 8) * 8, 8)
+        group = work_ref[pl.ds(y8, 8), :]
+        in_win_row = win_row_iota == (y - y8)
+        x = jnp.min(jnp.where(in_win_row & (group == val), col_iota, cols))
         take = (val > 0.0) & (i < n_stop)
 
-        row = jnp.where(
-            lane == 0,
-            x.astype(jnp.float32),
-            jnp.where(
-                lane == 1,
-                y.astype(jnp.float32),
-                jnp.where(
-                    lane == 2,
-                    val,
-                    jnp.where(lane == 3, take.astype(jnp.float32), 0.0),
-                ),
-            ),
-        )
-        out_ref[pl.ds(i, 1), :] = jnp.where(take, row, jnp.zeros_like(row))
+        # Scalar results to SMEM (no alignment constraints on scalar stores).
+        out_ref[i, 0] = jnp.where(take, x, 0).astype(jnp.float32)
+        out_ref[i, 1] = jnp.where(take, y, 0).astype(jnp.float32)
+        out_ref[i, 2] = jnp.where(take, val, 0.0)
+        out_ref[i, 3] = take.astype(jnp.float32)
 
-        # Suppress the (2r+1)^2 square: only rows [y-r, y+r] change, so only
-        # an S-row band is rewritten and its row maxima recomputed.
-        y0 = jnp.clip(y - radius, 0, rows - S)
+        # Suppress the (2r+1)^2 square: only the 8-aligned S-row band around y
+        # is rewritten and its row maxima recomputed.
+        y0 = jnp.clip(((y - radius) // 8) * 8, 0, rows - S)
+        y0 = pl.multiple_of(y0, 8)
         band = work_ref[pl.ds(y0, S), :]
         in_rows = jnp.abs(blk_row_iota + y0 - y) <= radius
         in_cols = jnp.abs(blk_col_iota - x) <= radius
@@ -88,7 +88,18 @@ def _kernel(n_stop_ref, cand_ref, out_ref, work_ref, rowmax_ref, radius: int):
         rowmax_ref[pl.ds(y0, S), :] = jnp.max(band, axis=1, keepdims=True)
         return i + 1, take
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+    i_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+
+    # Zero the tail so early exit leaves no stale slots.
+    def clear(i, _):
+        @pl.when(i >= i_final)
+        def _():
+            for k in range(4):
+                out_ref[i, k] = 0.0
+
+        return 0
+
+    jax.lax.fori_loop(0, max_picks, clear, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_picks", "radius", "interpret"))
@@ -101,12 +112,12 @@ def _greedy_pallas(cand_map, max_picks: int, n_stop, radius: int, interpret: boo
     )
     out = pl.pallas_call(
         functools.partial(_kernel, radius=radius),
-        out_shape=jax.ShapeDtypeStruct((max_picks, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((max_picks, 4), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
             pltpu.VMEM((rows_p, cols_p), jnp.float32),
             pltpu.VMEM((rows_p, 1), jnp.float32),

@@ -236,11 +236,20 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
         )
         return rot, trans, points
 
+    n_shards = mesh.shape[axis]
+
     @jax.jit
     def run(problem: BAProblem) -> BAProblem:
+        # Pad the landmark axis to a multiple of the mesh axis; padded slots
+        # carry obs_cam = -1 and so contribute nothing to any reduction.
+        L = problem.points.shape[0]
+        pad = (-L) % n_shards
+        points = jnp.pad(problem.points, ((0, pad), (0, 0)))
+        obs_cam = jnp.pad(problem.obs_cam, ((0, pad), (0, 0)), constant_values=-1)
+        obs_uv = jnp.pad(problem.obs_uv, ((0, pad), (0, 0), (0, 0)))
         rot, trans, points = step_sharded(
-            problem.rot, problem.trans, problem.points, problem.obs_cam, problem.obs_uv
+            problem.rot, problem.trans, points, obs_cam, obs_uv
         )
-        return problem._replace(rot=rot, trans=trans, points=points)
+        return problem._replace(rot=rot, trans=trans, points=points[:L])
 
     return run
