@@ -49,6 +49,11 @@ class DetectorOptions:
     # --- New-framework shape controls (fixed-shape dataflow, no reference
     # counterpart: the reference uses dynamic std::vector sizes). ---
     max_features: int = 256
+    # Subpixel corner localization (quadratic fit of the response map around
+    # each selected corner).  No reference counterpart (the reference emits
+    # integer pixels); off by default for parity, on in the VO pipeline where
+    # integer quantization dominates the triangulation error budget.
+    subpixel: bool = False
 
     def replace(self, **kw) -> "DetectorOptions":
         return dataclasses.replace(self, **kw)
@@ -91,6 +96,14 @@ class BriefOptions:
 
     length: int = 256
     half_patch_size: int = 8
+    # Descriptor compute path: "mxu" (default) quantizes the steering angle to
+    # ``steer_bins`` (OpenCV ORB practice: 30 bins of 12 deg), rounds feature
+    # centers and rotated sample offsets to integer pixels, and evaluates every
+    # intensity test as ONE matmul against a precomputed +/-1 sampling matrix —
+    # exact integer arithmetic on the MXU.  "gather" is the continuous-angle
+    # bilinear reference path (decision Q1), ~50x slower on TPU.
+    method: str = "mxu"
+    steer_bins: int = 30
 
     @property
     def words(self) -> int:
@@ -161,10 +174,12 @@ class BAOptions:
     damping: float = 1e-4
     damping_up: float = 4.0
     damping_down: float = 0.5
-    # Cameras frozen for gauge fixing.  Monocular BA has a 7-dof gauge
-    # (pose + global scale): freezing two cameras pins all of it; pure
-    # pose-graph problems need only 1.
-    num_fixed_cameras: int = 2
+    # Cameras frozen for gauge fixing.  Fix exactly ONE camera: monocular BA
+    # also has a global-scale null direction, but LM damping regularizes it
+    # harmlessly — freezing a second camera instead pins 5 spurious dof to
+    # that camera's (possibly badly initialized) pose and blocks the solver
+    # from ever correcting it.
+    num_fixed_cameras: int = 1
 
 
 @_frozen

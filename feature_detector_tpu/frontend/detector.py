@@ -29,15 +29,16 @@ from ..kernels import detect as K
 
 
 def _candidate_map(image, mask, kind: str, opts, sub):
+    """Returns (candidate map for selection, raw response map for subpixel)."""
     if kind == "harris":
         resp = K.harris_response(image, mask, opts, sub)
-        return K.nms4(resp, opts.min_valid_response, sub.half_patch_size + 1)
+        return K.nms4(resp, opts.min_valid_response, sub.half_patch_size + 1), resp
     if kind == "shi_tomasi":
         resp = K.shi_tomasi_response(image, mask, opts, sub)
-        return K.nms4(resp, opts.min_valid_response, sub.half_patch_size + 1)
+        return K.nms4(resp, opts.min_valid_response, sub.half_patch_size + 1), resp
     if kind == "fast":
         resp = K.fast_response(image, mask, sub)
-        return K.fast_candidates(resp, opts.min_valid_response)
+        return K.fast_candidates(resp, opts.min_valid_response), resp
     raise ValueError(f"unknown detector kind: {kind}")
 
 
@@ -81,7 +82,7 @@ def detect_good_features(
     mask = K.make_suppression_mask(
         image.shape, existing.uv, existing.valid, opts.min_feature_distance
     )
-    cand = _candidate_map(image, mask, kind, opts, sub)
+    cand, raw_resp = _candidate_map(image, mask, kind, opts, sub)
 
     n_existing = existing.count
     n_stop = jnp.maximum(needed_num - n_existing, 0)
@@ -100,6 +101,9 @@ def detect_good_features(
         new_uv, new_resp, new_valid = K.greedy_select_lax(
             cand, max_picks, n_stop, opts.min_feature_distance
         )
+
+    if opts.subpixel:
+        new_uv = K.subpixel_refine(raw_resp, new_uv, new_valid)
 
     # Append new picks after the existing prefix (Q9).
     idx = jnp.arange(capacity)

@@ -1,13 +1,26 @@
-"""Steered-BRIEF descriptor as batched JAX gathers.
+"""Steered-BRIEF descriptor: MXU matmul path (default) + batched-gather path.
 
 TPU-first redesign of BriefDescriptor::ComputeForOneFeature
-(descriptor_brief.cpp:8-50): instead of a per-feature scalar loop, all N
-features compute their intensity-centroid orientation and all 2*length rotated
-pattern samples as one batched bilinear gather, and bits pack into uint32
-words for the XOR-popcount matcher.  Semantics pinned to the NumPy oracle
-(feature_detector_tpu/oracle/brief.py); float-coordinate reads are bilinear
-(decision Q1), border failures yield all-zero descriptors with valid=False
-(quirk Q5 made explicit).
+(descriptor_brief.cpp:8-50).  Two implementations:
+
+- ``method="mxu"`` (default): detector keypoints are integer pixels, so each
+  feature's descriptor is a function of its 37x37 patch.  The steering angle
+  is quantized to ``steer_bins`` bins (OpenCV ORB quantizes to 30 bins of
+  12 deg — the reference's pattern table IS OpenCV's bit_pattern_31), rotated
+  sample offsets round to integer pixels, and every intensity test for every
+  bin becomes one column of a precomputed +/-1 matrix D [37*37, bins*length].
+  All bits for all features then come from ONE matmul patches @ D — u8 pixel
+  values and +/-1 weights are exact in bf16, so the MXU result is exact
+  integer arithmetic.  ~50x faster than the gather path on TPU (random
+  scalar gathers are the slowest thing a TPU can do; a dense matmul is the
+  fastest).
+
+- ``method="gather"``: the continuous-angle bilinear reference path, pinned
+  to the NumPy oracle (decision Q1: bilinear float reads).
+
+Both paths: border failures yield all-zero descriptors with valid=False
+(quirk Q5 made explicit), bits pack into uint32 words for the XOR-popcount
+matcher.
 """
 
 from __future__ import annotations
@@ -22,6 +35,13 @@ from ..core.config import BriefOptions
 from ..oracle.brief_pattern import BRIEF_PATTERN
 
 K_ZERO_FLOAT = 1e-10
+
+# MXU-path patch geometry: pattern offsets are within +/-13, rotated and
+# rounded offsets within +/-18 (asserted in _build_sampling_matrix), and the
+# reference's 19 px border bound (descriptor_brief.cpp:13-17) then guarantees
+# every patch is fully inside the image.
+PATCH_HALF = 18
+PATCH = 2 * PATCH_HALF + 1  # 37
 
 
 def bilinear_sample(image_f32: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
@@ -46,14 +66,123 @@ def bilinear_sample(image_f32: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) ->
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _build_sampling_matrix(length: int, bins: int):
+    """D [PATCH*PATCH, bins*length] f32 in {-1, 0, +1}.
+
+    Column (b*length + l) holds +1 at the rotated-by-bin-b p2 offset of test
+    pair l and -1 at its p1 offset, so patch @ D = I(p2) - I(p1) for every
+    (bin, test) at once.  If both offsets round to the same pixel the column
+    is zero and the bit is 0 (v1 < v2 false), matching the scalar semantics.
+    """
+    pat = BRIEF_PATTERN[:length].astype(np.float64)
+    d = np.zeros((PATCH * PATCH, bins * length), np.float32)
+    for b in range(bins):
+        theta = 2.0 * np.pi * b / bins
+        c, s = np.cos(theta), np.sin(theta)
+        p1x = np.rint(c * pat[:, 0] - s * pat[:, 1]).astype(np.int64)
+        p1y = np.rint(s * pat[:, 0] + c * pat[:, 1]).astype(np.int64)
+        p2x = np.rint(c * pat[:, 2] - s * pat[:, 3]).astype(np.int64)
+        p2y = np.rint(s * pat[:, 2] + c * pat[:, 3]).astype(np.int64)
+        assert max(np.abs(np.concatenate([p1x, p1y, p2x, p2y]))) <= PATCH_HALF
+        cols = b * length + np.arange(length)
+        d[(p2y + PATCH_HALF) * PATCH + (p2x + PATCH_HALF), cols] += 1.0
+        d[(p1y + PATCH_HALF) * PATCH + (p1x + PATCH_HALF), cols] -= 1.0
+    return d
+
+
+@functools.lru_cache(maxsize=2)
+def _moment_weights():
+    """[PATCH*PATCH, 2] f32: columns (dx, dy) over the centered 17x17
+    intensity-centroid window (descriptor_brief.cpp:20-35), zero elsewhere."""
+    w = np.zeros((PATCH, PATCH, 2), np.float32)
+    for dy in range(-8, 9):
+        for dx in range(-8, 9):
+            w[dy + PATCH_HALF, dx + PATCH_HALF] = (dx, dy)
+    return w.reshape(-1, 2)
+
+
+def _pack_words(bits: jnp.ndarray, opts: BriefOptions) -> jnp.ndarray:
+    """[N, length] {0,1} -> [N, words] uint32; bit j of word w = test 32*w+j."""
+    n = bits.shape[0]
+    padded = jnp.zeros((n, opts.words * 32), jnp.uint32).at[:, : opts.length].set(bits)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(
+        padded.reshape(n, opts.words, 32) << shifts[None, None, :], axis=-1
+    ).astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
-def brief_compute(
+def brief_compute_mxu(
     image: jnp.ndarray,
     uv: jnp.ndarray,
     valid: jnp.ndarray,
     opts: BriefOptions = BriefOptions(),
 ):
-    """Compute packed steered-BRIEF descriptors for a fixed-capacity feature set.
+    """MXU-path steered BRIEF: one patch extraction + one matmul.
+
+    Semantics (pinned by oracle.brief.compute_binned): centers rounded to
+    integer pixels, steering angle from integer-pixel centroid moments
+    quantized to ``opts.steer_bins``, rotated offsets rounded to integer
+    pixels, bit = I(p1) < I(p2) on raw u8 values.  Exact — no float rounding
+    anywhere (u8 values and +/-1 weights are exact in bf16; accumulation is
+    f32).
+    """
+    img = image.astype(jnp.float32)
+    rows, cols = image.shape
+    n = uv.shape[0]
+    length, bins = opts.length, opts.steer_bins
+
+    x = jnp.round(uv[:, 0]).astype(jnp.int32)
+    y = jnp.round(uv[:, 1]).astype(jnp.int32)
+    max_bound = int(max(19, 2 * opts.half_patch_size))
+    in_border = (
+        (x >= max_bound) & (x <= cols - max_bound) & (y >= max_bound) & (y <= rows - max_bound)
+    )
+    xs = jnp.clip(x, PATCH_HALF, cols - PATCH_HALF - 1)
+    ys = jnp.clip(y, PATCH_HALF, rows - PATCH_HALF - 1)
+
+    patches = jax.vmap(
+        lambda oy, ox: jax.lax.dynamic_slice(img, (oy, ox), (PATCH, PATCH))
+    )(ys - PATCH_HALF, xs - PATCH_HALF).reshape(n, PATCH * PATCH)
+
+    # Exact f32 moments (products <= 8*255 and ~300k-scale sums are exact).
+    m = patches @ jnp.asarray(_moment_weights())  # [N, 2] = (m10, m01)
+    m10, m01 = m[:, 0], m[:, 1]
+    norm = jnp.sqrt(m10 * m10 + m01 * m01)
+    ok_moment = norm >= K_ZERO_FLOAT
+    theta = jnp.arctan2(m01, m10)
+    bin_idx = jnp.mod(
+        jnp.round(theta * (bins / (2.0 * jnp.pi))).astype(jnp.int32), bins
+    )
+
+    # ONE matmul computes I(p2)-I(p1) for every (bin, test); exact in bf16.
+    d_all = jnp.asarray(_build_sampling_matrix(length, bins), jnp.bfloat16)
+    diff = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16),
+        d_all,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, bins, length)
+    # Per-feature bin selection as a one-hot contraction (no gather).
+    onehot = jax.nn.one_hot(bin_idx, bins, dtype=jnp.float32)
+    sel = jnp.einsum("nbl,nb->nl", diff, onehot)
+    bits = (sel > 0.0).astype(jnp.uint32)
+
+    desc_valid = valid & in_border & ok_moment
+    bits = bits * desc_valid[:, None].astype(jnp.uint32)
+    return _pack_words(bits, opts), desc_valid
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def brief_compute_gather(
+    image: jnp.ndarray,
+    uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    opts: BriefOptions = BriefOptions(),
+):
+    """Gather-path steered BRIEF (continuous angle, bilinear reads — the
+    reference-parity path, pinned to oracle.brief.compute).
 
     Args:
       image: [H, W] uint8.
@@ -107,10 +236,19 @@ def brief_compute(
 
     desc_valid = valid & in_border & ok_moment
     bits = bits * desc_valid[:, None].astype(jnp.uint32)
+    return _pack_words(bits, opts), desc_valid
 
-    # Pack: bit j of word w = test 32*w + j.
-    words = opts.words
-    padded = jnp.zeros((n, words * 32), jnp.uint32).at[:, :length].set(bits)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(padded.reshape(n, words, 32) << shifts[None, None, :], axis=-1)
-    return packed.astype(jnp.uint32), desc_valid
+
+def brief_compute(
+    image: jnp.ndarray,
+    uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    opts: BriefOptions = BriefOptions(),
+):
+    """Steered-BRIEF dispatch: opts.method selects the MXU matmul path
+    (default; see module docstring) or the continuous-bilinear gather path."""
+    if opts.method == "mxu":
+        return brief_compute_mxu(image, uv, valid, opts)
+    if opts.method == "gather":
+        return brief_compute_gather(image, uv, valid, opts)
+    raise ValueError(f"unknown BRIEF method: {opts.method!r}")

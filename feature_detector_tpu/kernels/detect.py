@@ -263,3 +263,45 @@ def greedy_select_lax(
     )
     _, uv, resp, valid = jax.lax.fori_loop(0, max_picks, body, init)
     return uv, resp, valid
+
+
+def subpixel_refine(
+    response: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Subpixel corner localization: 2D quadratic fit of the response map.
+
+    No reference counterpart (the reference emits integer candidate pixels);
+    this is the standard corner-refinement step (cf. OpenCV cornerSubPix /
+    SIFT's quadratic peak interpolation) that drops localization error from
+    ~0.5 px (integer grid) to ~0.1 px, which dominates the triangulation
+    error budget of the VO pipeline.
+
+    Args:
+      response: [H, W] raw detector response (pre-NMS).
+      uv: [N, 2] integer-valued (x, y) picks.
+      valid: [N] bool.
+    Returns refined uv [N, 2] f32; invalid slots and non-concave fits keep
+    their integer position.
+    """
+    rows, cols = response.shape
+    x = jnp.clip(uv[:, 0].astype(jnp.int32), 1, cols - 2)
+    y = jnp.clip(uv[:, 1].astype(jnp.int32), 1, rows - 2)
+    win = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(response, (yy - 1, xx - 1), (3, 3))
+    )(y, x)  # [N, 3, 3]
+
+    gx = (win[:, 1, 2] - win[:, 1, 0]) * 0.5
+    gy = (win[:, 2, 1] - win[:, 0, 1]) * 0.5
+    hxx = win[:, 1, 2] + win[:, 1, 0] - 2.0 * win[:, 1, 1]
+    hyy = win[:, 2, 1] + win[:, 0, 1] - 2.0 * win[:, 1, 1]
+    hxy = (win[:, 2, 2] - win[:, 2, 0] - win[:, 0, 2] + win[:, 0, 0]) * 0.25
+    det = hxx * hyy - hxy * hxy
+    safe = jnp.abs(det) > 1e-12
+    det_s = jnp.where(safe, det, 1.0)
+    dx = -(hyy * gx - hxy * gy) / det_s
+    dy = -(hxx * gy - hxy * gx) / det_s
+    # Accept only local-maximum-shaped fits with a sane offset.
+    ok = valid & safe & (hxx < 0) & (det > 0) & (jnp.abs(dx) <= 0.75) & (jnp.abs(dy) <= 0.75)
+    out_x = uv[:, 0] + jnp.where(ok, dx, 0.0)
+    out_y = uv[:, 1] + jnp.where(ok, dy, 0.0)
+    return jnp.stack([out_x, out_y], axis=1)

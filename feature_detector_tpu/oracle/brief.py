@@ -76,6 +76,53 @@ def compute_one(image: np.ndarray, uv, opts: BriefOptions):
     return bits, True
 
 
+def compute_one_binned(image: np.ndarray, uv, opts: BriefOptions):
+    """Scalar oracle for the MXU descriptor path (kernels/brief.py:
+    brief_compute_mxu): integer-rounded center, integer-pixel centroid
+    moments, steering angle quantized to opts.steer_bins (OpenCV ORB
+    practice), rotated offsets rounded to integer pixels, raw u8 reads."""
+    x, y = int(np.rint(uv[0])), int(np.rint(uv[1]))
+    rows, cols = image.shape
+    length = opts.length
+    bits = np.zeros(length, dtype=np.uint8)
+
+    max_bound = max(19, 2 * opts.half_patch_size)
+    if x < max_bound or x > cols - max_bound or y < max_bound or y > rows - max_bound:
+        return bits, False
+
+    img = image.astype(np.float64)
+    half = 8
+    dxs = np.arange(-half, half + 1)
+    dxg, dyg = np.meshgrid(dxs, dxs, indexing="xy")
+    vals = img[y + dyg, x + dxg]
+    m10 = float((dxg * vals).sum())
+    m01 = float((dyg * vals).sum())
+    if np.hypot(m10, m01) < K_ZERO_FLOAT:
+        return bits, False
+    bins = opts.steer_bins
+    b = int(np.rint(np.arctan2(m01, m10) * bins / (2.0 * np.pi))) % bins
+    theta = 2.0 * np.pi * b / bins
+    c, s = np.cos(theta), np.sin(theta)
+
+    pat = BRIEF_PATTERN[:length].astype(np.float64)
+    p1x = np.rint(c * pat[:, 0] - s * pat[:, 1]).astype(np.int64) + x
+    p1y = np.rint(s * pat[:, 0] + c * pat[:, 1]).astype(np.int64) + y
+    p2x = np.rint(c * pat[:, 2] - s * pat[:, 3]).astype(np.int64) + x
+    p2y = np.rint(s * pat[:, 2] + c * pat[:, 3]).astype(np.int64) + y
+    bits[:] = (image[p1y, p1x] < image[p2y, p2x]).astype(np.uint8)
+    return bits, True
+
+
+def compute_binned(image: np.ndarray, pixel_uv, opts: BriefOptions | None = None):
+    """Batch loop for the binned/MXU semantics."""
+    opts = opts or BriefOptions()
+    out = np.zeros((len(pixel_uv), opts.length), dtype=np.uint8)
+    valid = np.zeros(len(pixel_uv), dtype=bool)
+    for i, uv in enumerate(pixel_uv):
+        out[i], valid[i] = compute_one_binned(image, uv, opts)
+    return out, valid
+
+
 def compute(image: np.ndarray, pixel_uv, opts: BriefOptions | None = None):
     """Batch loop (descriptor.h:28-40).  Returns (bits[N, length], valid[N])."""
     opts = opts or BriefOptions()

@@ -207,7 +207,9 @@ def refine_relative_pose(
     return jax.lax.fori_loop(0, iterations, step, (rot, trans))
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "ransac_rounds"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "ransac_rounds", "cheirality_gate")
+)
 def two_view_init(
     uv_a: jnp.ndarray,
     uv_b: jnp.ndarray,
@@ -216,6 +218,7 @@ def two_view_init(
     iterations: int = 3,
     ransac_rounds: int = 64,
     seed: int = 0,
+    cheirality_gate: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-view relative pose + structure with RANSAC outlier rejection.
 
@@ -275,7 +278,13 @@ def two_view_init(
     pts, cheir = triangulate(
         jnp.eye(3), jnp.zeros(3), rot_b, trans_b, uv_a, uv_b, cam
     )
-    inlier = valid & cheir & (d2 < 9.0 * sigma2)
+    inlier = valid & (d2 < 9.0 * sigma2)
+    if cheirality_gate:
+        # Meaningful only with real parallax: on near-zero-baseline pairs the
+        # triangulated depth SIGN is noise, and gating on it throws away half
+        # the true matches.  Callers filtering adjacent-frame matches should
+        # pass cheirality_gate=False.
+        inlier = inlier & cheir
     return rot_b, trans_b, pts, inlier
 
 

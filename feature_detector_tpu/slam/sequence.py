@@ -165,11 +165,16 @@ def make_synthetic_sequence(
 ) -> SyntheticSequence:
     """Render a camera arc over a random landmark field as real uint8 images.
 
-    Each landmark is drawn as a per-landmark random texture patch (a fixed
-    high-contrast pattern, identical in every frame), so FAST fires on it and
-    BRIEF descriptors are distinctive enough for reliable cross-frame
-    matching.  The arc baseline is a few tenths of the scene depth so the
-    two-view geometry is well conditioned.
+    Each landmark is a textured 3D planar patch of FIXED WORLD SIZE (normal
+    +z), rendered per frame through a local affine approximation of the
+    projection — so the patch's corners are geometrically consistent 3D
+    points across views.  (A first version stamped fixed-PIXEL-size patterns,
+    which put every detected corner ~3 px off any consistent 3D point and
+    capped BA at ~2.6 px² mean residual; perspective-correct patches let BA
+    converge to sub-pixel.)  FAST fires on the pattern corners and BRIEF
+    descriptors are distinctive enough for reliable cross-frame matching.
+    The arc baseline is a few tenths of the scene depth so the two-view
+    geometry is well conditioned.
     """
     rng = np.random.default_rng(seed)
     cam = Pinhole(
@@ -201,28 +206,81 @@ def make_synthetic_sequence(
         + 10.0 * np.cos(yy / 31.0)
     )
 
-    # Per-landmark texture stamp: bright core with a unique binary pattern.
-    stamp_size = 2 * blob_radius + 3
-    stamps = rng.uniform(0, 1, (n_landmarks, stamp_size, stamp_size))
-    stamps = np.where(stamps > 0.45, rng.uniform(150, 255, stamps.shape), 40.0)
-    half = stamp_size // 2
+    # Per-landmark texture: a unique binary pattern on a 3D planar patch of
+    # fixed world size (chosen to subtend ~9 px at the mean scene depth).
+    stamp_cells = 2 * blob_radius + 3
+    stamps = rng.uniform(0, 1, (n_landmarks, stamp_cells, stamp_cells))
+    stamps = np.where(
+        stamps > 0.45, rng.uniform(150, 255, stamps.shape), 40.0
+    ).astype(np.float32)
+    # World edge length chosen so a texture cell subtends ~2.5 px at the mean
+    # scene depth — sub-2px cells alias badly and destroy FAST repeatability.
+    mid_depth = 7.0
+    patch_world = stamp_cells * 2.5 * mid_depth / cam.fx
+
     images = np.empty((n_frames, rows, cols), np.uint8)
     for f in range(n_frames):
         img = background.copy()
-        pc = pts @ rots[f].T + trans[f]
-        z = pc[:, 2]
-        u = cam.fx * pc[:, 0] / z + cam.cx
-        v = cam.fy * pc[:, 1] / z + cam.cy
+        r_wc, t_wc = rots[f], trans[f]
+
+        def proj(p3):
+            pc = p3 @ r_wc.T + t_wc
+            return (
+                np.stack(
+                    [cam.fx * pc[..., 0] / pc[..., 2] + cam.cx,
+                     cam.fy * pc[..., 1] / pc[..., 2] + cam.cy], axis=-1
+                ),
+                pc[..., 2],
+            )
+
+        centers_uv, z = proj(pts)
+        # Local affine frame of each patch: columns are the image-space
+        # derivatives along the patch's world x/y axes.
+        eps = 1e-3
+        du, _ = proj(pts + np.array([eps, 0.0, 0.0], np.float32))
+        dv, _ = proj(pts + np.array([0.0, eps, 0.0], np.float32))
+        ja = np.stack([(du - centers_uv) / eps, (dv - centers_uv) / eps], axis=-1)
+        # [L, 2, 2]; patch-local (a, b) in world units -> pixel offset.
+        half_px = np.abs(ja).sum(axis=2).max(axis=1) * patch_world / 2.0 + 1.0
         vis = (
             (z > 0.1)
-            & (u >= half + 1)
-            & (u < cols - half - 1)
-            & (v >= half + 1)
-            & (v < rows - half - 1)
+            & (centers_uv[:, 0] >= half_px + 1)
+            & (centers_uv[:, 0] < cols - half_px - 1)
+            & (centers_uv[:, 1] >= half_px + 1)
+            & (centers_uv[:, 1] < rows - half_px - 1)
         )
         for l in np.nonzero(vis)[0]:
-            ui, vi = int(round(u[l])), int(round(v[l]))
-            img[vi - half : vi + half + 1, ui - half : ui + half + 1] = stamps[l]
+            cu, cv = centers_uv[l]
+            r = int(np.ceil(half_px[l]))
+            u0, u1 = int(np.floor(cu)) - r, int(np.floor(cu)) + r + 1
+            v0, v1 = int(np.floor(cv)) - r, int(np.floor(cv)) + r + 1
+            uu, vv_ = np.meshgrid(np.arange(u0, u1), np.arange(v0, v1), indexing="xy")
+            d_uv = np.stack([uu - cu, vv_ - cv], axis=-1).astype(np.float32)
+            ab = d_uv @ np.linalg.inv(ja[l]).T.astype(np.float32)  # world units
+            # Bilinear texture interpolation: nearest sampling makes rendered
+            # edges jump a whole pixel as the subpixel projection phase
+            # shifts, injecting ~1.5 px of view-dependent corner error that no
+            # solver can explain; bilinear keeps corners on their true rays.
+            tex = (ab / patch_world + 0.5) * stamp_cells - 0.5  # texel coords
+            inside = (
+                (tex[..., 0] >= 0) & (tex[..., 0] < stamp_cells - 1)
+                & (tex[..., 1] >= 0) & (tex[..., 1] < stamp_cells - 1)
+            )
+            t0_ = np.clip(np.floor(tex).astype(np.int32), 0, stamp_cells - 2)
+            w_ = tex - t0_
+            st = stamps[l]
+            v00 = st[t0_[..., 1], t0_[..., 0]]
+            v01 = st[t0_[..., 1], t0_[..., 0] + 1]
+            v10 = st[t0_[..., 1] + 1, t0_[..., 0]]
+            v11 = st[t0_[..., 1] + 1, t0_[..., 0] + 1]
+            vals = (
+                v00 * (1 - w_[..., 1]) * (1 - w_[..., 0])
+                + v01 * (1 - w_[..., 1]) * w_[..., 0]
+                + v10 * w_[..., 1] * (1 - w_[..., 0])
+                + v11 * w_[..., 1] * w_[..., 0]
+            )
+            region = img[v0:v1, u0:u1]
+            region[inside] = vals[inside]
         images[f] = np.clip(img, 0, 255).astype(np.uint8)
 
     # Ground-truth trajectory = camera centers in world frame.
@@ -282,34 +340,81 @@ def _build_tracks(
     return [t for t in tracks if len(t) >= min_length]
 
 
+def _pick_init_pair(
+    uv_np, valid_np, words, dvalid, cam, match_opts, match_fn, min_inliers=15
+):
+    """Choose the two-view initialization pair (0, j).
+
+    Adjacent frames have a tiny baseline-to-depth ratio, for which the
+    essential matrix's translation direction is notoriously ill-conditioned
+    (the small-baseline rotation/translation ambiguity) — initializing from
+    (0, 1) put whole trajectories in a wrong basin that bundle adjustment
+    cannot leave.  Standard practice (e.g. ORB-SLAM's parallax check):
+    initialize from the WIDEST pair that still matches reliably.  Returns
+    (j, rot_j, trans_j, idx0_to_j [N] int, inlier mask [N]).
+    """
+    from . import geometry
+
+    # Init matching drops the ratio test: wide-pair matching is starved for
+    # candidates and the epipolar RANSAC right below is the real gate.
+    init_mo = dataclasses.replace(match_opts, ratio=1.0)
+    n_frames = len(uv_np)
+    for j in range(n_frames - 1, 0, -1):
+        m = match_fn(words[0], dvalid[0], words[j], dvalid[j], init_mo)
+        mi = np.where(np.asarray(m.valid), np.asarray(m.index), -1)
+        sel = np.clip(mi, 0, None)
+        pv = jnp.asarray((mi >= 0) & valid_np[0])
+        if int(np.asarray(pv).sum()) < min_inliers:
+            continue
+        r, t, _, inl = geometry.two_view_init(
+            jnp.asarray(uv_np[0]), jnp.asarray(uv_np[j][sel]), pv, cam
+        )
+        inl = np.asarray(inl)
+        if inl.sum() >= min_inliers:
+            return j, np.asarray(r, np.float32), np.asarray(t, np.float32), mi, inl
+    raise ValueError("two-view initialization failed: no pair with enough inliers")
+
+
 def run_visual_odometry(
     images: np.ndarray,
     cam: Pinhole,
-    detector_kind: str = "fast",
+    detector_kind: str = "harris",
     needed_features: int = 200,
     det_opts: Optional[DetectorOptions] = None,
     brief_opts: BriefOptions = BriefOptions(),
-    match_opts: MatcherOptions = MatcherOptions(),
+    match_opts: MatcherOptions = MatcherOptions(ratio=0.85),
     ba_opts: BAOptions = BAOptions(max_iterations=12),
     mesh=None,
     max_track_obs: int = 6,
+    max_reproj_px: float = 3.0,
 ) -> VOResult:
     """Monocular VO over a frame stack: the full configs[4] pipeline.
 
     1. detect + describe every frame (one vmapped jit over the stack);
-    2. Hamming-match consecutive frames (MXU XOR-popcount);
-    3. two-view init (IRLS 8-point) for frames 0-1, scale-gauged;
-    4. chain matches into tracks, triangulate each track's first pair;
-    5. per-frame pose registration (vectorized PnP Gauss-Newton);
-    6. global Schur-complement BA (landmark-sharded over ``mesh`` if given).
+    2. Hamming-match consecutive frames (MXU XOR-popcount + ratio test);
+    3. per-pair epipolar RANSAC (vmapped fixed-round 8-point) rejects the
+       wrong-match tail the descriptor gates let through — binary descriptors
+       on repetitive texture pass ~20-30% gross outliers even with
+       cross-check, and every downstream stage assumes mostly-clean tracks;
+    4. two-view init for frames 0-1, scale-gauged;
+    5. chain inlier matches into tracks; triangulate each track's first pair,
+       gated by reprojection residual in both views;
+    6. per-frame pose registration (PnP Gauss-Newton with IRLS reweighting);
+    7. global Schur-complement BA (landmark-sharded over ``mesh`` if given).
     """
     from ..frontend.detector import detect_good_features
     from ..kernels.brief import brief_compute
     from ..match.hamming import match_hamming
 
     if det_opts is None:
+        # Harris + subpixel: a smooth response map with quadratic peak
+        # refinement gives ~0.1 px corner localization, which is what bounds
+        # the triangulation error budget of monocular VO.
         det_opts = DetectorOptions(
-            min_feature_distance=10, min_valid_response=10.0, max_features=256
+            min_feature_distance=10,
+            min_valid_response=20.0,
+            max_features=256,
+            subpixel=True,
         )
     imgs = jnp.asarray(images)
     n_frames = len(images)
@@ -343,59 +448,94 @@ def run_visual_odometry(
     mvalid = np.asarray(matches.valid)
     midx = np.where(mvalid, midx, -1)
 
-    # --- two-view initialization on frames (0, 1) ---
-    i0 = midx[0]
-    uv_a = jnp.asarray(uv_np[0])
-    sel = np.clip(i0, 0, None)
-    uv_b = jnp.asarray(uv_np[1][sel])
-    pair_valid = jnp.asarray((i0 >= 0) & valid_np[0])
-    r01, t01, _, _ = geometry.two_view_init(uv_a, uv_b, pair_valid, cam)
+    # --- per-pair epipolar RANSAC: keep only geometrically consistent
+    # matches (two_view_init's inlier mask) in the track graph.
+    for f in range(n_frames - 1):
+        i_f = midx[f]
+        sel = np.clip(i_f, 0, None)
+        pair_valid = jnp.asarray((i_f >= 0) & valid_np[f])
+        _, _, _, inlier = geometry.two_view_init(
+            jnp.asarray(uv_np[f]),
+            jnp.asarray(uv_np[f + 1][sel]),
+            pair_valid,
+            cam,
+            cheirality_gate=False,
+        )
+        midx[f] = np.where(np.asarray(inlier), i_f, -1)
 
-    rots = [np.eye(3, dtype=np.float32), np.asarray(r01, np.float32)]
-    trans = [np.zeros(3, np.float32), np.asarray(t01, np.float32)]
-
-    # --- tracks + triangulation from the first two frames they appear in ---
+    # --- tracks from consecutive inlier matches ---
     tracks = _build_tracks(
         [midx[f] for f in range(n_frames - 1)],
         [det_opts.max_features] * n_frames,
     )
 
+    # --- two-view initialization on the widest reliable pair (0, j*) ---
+    j_init, r_init, t_init, init_mi, init_inl = _pick_init_pair(
+        uv_np, valid_np, words, dvalid, cam, match_opts, match_hamming
+    )
+
     # --- sequential pose registration + incremental triangulation ---
+    rots = [np.eye(3, dtype=np.float32) for _ in range(n_frames)]
+    trans = [np.zeros(3, np.float32) for _ in range(n_frames)]
     track_pt = np.full((len(tracks), 3), np.nan, np.float32)
     obs_by_frame: List[List[Tuple[int, np.ndarray]]] = [[] for _ in range(n_frames)]
     for t_id, tr in enumerate(tracks):
         for f, i in tr:
             obs_by_frame[f].append((t_id, uv_np[f, i]))
 
+    def _reproj_err(pts, rot, tr, uv):
+        pc = pts @ np.asarray(rot).T + np.asarray(tr)
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        return np.hypot(u - uv[:, 0], v - uv[:, 1])
+
     def triangulate_frame_pair(fa, fb, pairs):
         if not pairs:
             return
-        uva = jnp.asarray(np.stack([p[1] for p in pairs]))
-        uvb = jnp.asarray(np.stack([p[2] for p in pairs]))
+        uva_np = np.stack([p[1] for p in pairs])
+        uvb_np = np.stack([p[2] for p in pairs])
         pts, ok = geometry.triangulate(
             jnp.asarray(rots[fa]),
             jnp.asarray(trans[fa]),
             jnp.asarray(rots[fb]),
             jnp.asarray(trans[fb]),
-            uva,
-            uvb,
+            jnp.asarray(uva_np),
+            jnp.asarray(uvb_np),
             cam,
         )
         pts = np.asarray(pts)
-        ok = np.asarray(ok)
+        # Cheirality + reprojection gate in both views: a surviving wrong
+        # match or a low-parallax pair yields a point that cannot explain its
+        # own observations — never let it into the map.
+        ok = (
+            np.asarray(ok)
+            & (_reproj_err(pts, rots[fa], trans[fa], uva_np) < max_reproj_px)
+            & (_reproj_err(pts, rots[fb], trans[fb], uvb_np) < max_reproj_px)
+        )
         for k, (t_id, _, _) in enumerate(pairs):
             if ok[k] and np.isnan(track_pt[t_id, 0]):
                 track_pt[t_id] = pts[k]
 
-    # Seed points from frames (0, 1).
-    first_pairs = []
+    # Seed the map from the init pair (0, j*): triangulate its direct inlier
+    # matches with poses (I | r_init, t_init) — the widest, best-conditioned
+    # baseline available — and attach each point to the track that holds the
+    # frame-0 feature.
+    rots[j_init], trans[j_init] = r_init, t_init
+    track_of_f0 = {}
     for t_id, tr in enumerate(tracks):
         fr = dict(tr)
-        if 0 in fr and 1 in fr:
-            first_pairs.append((t_id, uv_np[0, fr[0]], uv_np[1, fr[1]]))
-    triangulate_frame_pair(0, 1, first_pairs)
+        if 0 in fr:
+            track_of_f0[fr[0]] = t_id
+    seed_pairs = []
+    for i in np.nonzero(init_inl)[0]:
+        j_feat = int(init_mi[i])
+        t_id = track_of_f0.get(int(i))
+        if t_id is not None and j_feat >= 0:
+            seed_pairs.append((t_id, uv_np[0, i], uv_np[j_init, j_feat]))
+    triangulate_frame_pair(0, j_init, seed_pairs)
 
-    for f in range(2, n_frames):
+    for f in range(1, n_frames):
         # Register frame f against known track points (PnP refinement from the
         # previous pose, few Gauss-Newton steps).
         known = [
@@ -403,23 +543,55 @@ def run_visual_odometry(
             for t_id, uv in obs_by_frame[f]
             if not np.isnan(track_pt[t_id, 0])
         ]
-        r, t = jnp.asarray(rots[f - 1]), jnp.asarray(trans[f - 1])
-        if known:
-            pts = jnp.asarray(np.stack([track_pt[t_id] for t_id, _ in known]))
-            uvs = jnp.asarray(np.stack([uv for _, uv in known]))
+        if f == j_init:
+            r0_np, t0_np = rots[j_init], trans[j_init]
+        else:
+            r0_np, t0_np = rots[f - 1], trans[f - 1]
+        r, t = jnp.asarray(r0_np), jnp.asarray(t0_np)
+        # PnP needs enough support to be trustworthy; with fewer points, keep
+        # the previous pose (BA will still refine it through its own tracks).
+        if len(known) >= 6:
+            pts_np = np.stack([track_pt[t_id] for t_id, _ in known])
+            uvs_np = np.stack([uv for _, uv in known])
+            pts = jnp.asarray(pts_np)
+            uvs = jnp.asarray(uvs_np)
             w = jnp.ones(len(known))
-            for _ in range(5):
+            for it in range(6):
                 r, t = geometry.pnp_refine(r, t, pts, uvs, w, cam)
-        rots.append(np.asarray(r, np.float32))
-        trans.append(np.asarray(t, np.float32))
+                # IRLS (Cauchy) reweighting: map points contaminated by a
+                # surviving mismatch must not drag the pose.
+                err = _reproj_err(pts_np, r, t, uvs_np)
+                w = jnp.asarray(1.0 / (1.0 + (err / max_reproj_px) ** 2))
+            # Diverged-solve guard: an ill-conditioned normal system can send
+            # the pose to infinity; fall back to the motion prior.
+            if not np.isfinite(np.asarray(t)).all() or np.linalg.norm(
+                np.asarray(t) - t0_np
+            ) > 10.0 * (1.0 + np.linalg.norm(t0_np)):
+                r, t = jnp.asarray(r0_np), jnp.asarray(t0_np)
+            import os as _os
+            if _os.environ.get("FD_VO_DEBUG"):
+                e0 = np.median(_reproj_err(pts_np, r0_np, t0_np, uvs_np))
+                e1 = np.median(_reproj_err(pts_np, r, t, uvs_np))
+                print(f"[vo] frame {f}: known={len(known)} med reproj {e0:.2f} -> {e1:.2f}px")
+        rots[f] = np.asarray(r, np.float32)
+        trans[f] = np.asarray(t, np.float32)
 
-        # Triangulate tracks first seen at (f-1, f).
-        new_pairs = []
+        # (Re-)triangulate: any un-triangulated track whose LAST observation
+        # is frame f gets its widest available baseline (first ↔ last frame) —
+        # adjacent-pair-only triangulation leaves depth poorly conditioned.
+        by_first = {}
         for t_id, tr in enumerate(tracks):
+            if not np.isnan(track_pt[t_id, 0]):
+                continue
             fr = dict(tr)
-            if np.isnan(track_pt[t_id, 0]) and (f - 1) in fr and f in fr:
-                new_pairs.append((t_id, uv_np[f - 1, fr[f - 1]], uv_np[f, fr[f]]))
-        triangulate_frame_pair(f - 1, f, new_pairs)
+            if f not in fr:
+                continue
+            fa = min(fr)
+            by_first.setdefault(fa, []).append(
+                (t_id, uv_np[fa, fr[fa]], uv_np[f, fr[f]])
+            )
+        for fa, new_pairs in by_first.items():
+            triangulate_frame_pair(fa, f, new_pairs)
 
     rots_np = np.stack(rots)
     trans_np = np.stack(trans)

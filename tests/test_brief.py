@@ -58,7 +58,7 @@ def _assert_bits_match_modulo_ties(image, uv, got_words, want_bits, opts):
 
 class TestBriefKernel:
     def test_matches_oracle_random_centers(self, image):
-        opts = BriefOptions()
+        opts = BriefOptions(method="gather")
         uv = _features_on(image, 32)
         want_bits, want_valid = oracle.compute(image, uv, opts)
 
@@ -70,7 +70,7 @@ class TestBriefKernel:
         _assert_bits_match_modulo_ties(image, uv, got_words, want_bits, opts)
 
     def test_length_128(self, image):
-        opts = BriefOptions(length=128)
+        opts = BriefOptions(length=128, method="gather")
         uv = _features_on(image, 8, seed=3)
         want_bits, want_valid = oracle.compute(image, uv, opts)
         f = Features.from_numpy(uv, 16)
@@ -92,13 +92,76 @@ class TestBriefKernel:
         opts = DetectorOptions(min_feature_distance=20, min_valid_response=20.0, max_features=64)
         feats = odet.detect_good_features(small_image, 10, "harris", opts)
         uv = np.asarray(feats, np.float32)
-        bopts = BriefOptions(length=128)
+        bopts = BriefOptions(length=128, method="gather")
         want_bits, want_valid = oracle.compute(small_image, uv, bopts)
         f = Features.from_numpy(uv, 64)
         d = compute_descriptors(jnp.asarray(small_image), f, bopts)
         _assert_bits_match_modulo_ties(
             small_image, uv, np.asarray(d.words)[: len(uv)], want_bits, bopts
         )
+
+
+class TestBriefMXU:
+    """MXU matmul path vs its binned/nearest oracle (compute_binned)."""
+
+    def _check(self, image, uv, opts):
+        want_bits, want_valid = oracle.compute_binned(image, uv, opts)
+        f = Features.from_numpy(uv, max(64, len(uv)))
+        d = compute_descriptors(jnp.asarray(image), f, opts)
+        got_valid = np.asarray(d.valid)[: len(uv)]
+        np.testing.assert_array_equal(got_valid, want_valid)
+        got_bits = _unpack(np.asarray(d.words)[: len(uv)], opts.length)
+        mism = (got_bits != want_bits).sum()
+        # The only tolerated divergence is an f32-vs-f64 atan2 tie flipping a
+        # steering bin on the boundary — a whole-feature event, rare.
+        assert mism <= 0.005 * want_bits.size, f"{mism} mismatched bits"
+
+    def test_matches_binned_oracle_integer_centers(self, image):
+        rng = np.random.default_rng(1)
+        h, w = image.shape
+        uv = np.stack(
+            [rng.integers(19, w - 19, 48), rng.integers(19, h - 19, 48)], axis=-1
+        ).astype(np.float32)
+        self._check(image, uv, BriefOptions())
+
+    def test_rounds_subpixel_centers(self, image):
+        uv = np.array([[100.4, 80.6], [200.5, 120.2]], np.float32)
+        self._check(image, uv, BriefOptions())
+
+    def test_length_128(self, image):
+        rng = np.random.default_rng(2)
+        h, w = image.shape
+        uv = np.stack(
+            [rng.integers(19, w - 19, 16), rng.integers(19, h - 19, 16)], axis=-1
+        ).astype(np.float32)
+        self._check(image, uv, BriefOptions(length=128))
+
+    def test_on_detected_corners(self, small_image):
+        opts = DetectorOptions(min_feature_distance=20, min_valid_response=20.0, max_features=64)
+        feats = odet.detect_good_features(small_image, 10, "harris", opts)
+        uv = np.asarray(feats, np.float32)
+        self._check(small_image, uv, BriefOptions())
+
+    def test_border_rejection(self, image):
+        uv = np.array([[5.0, 5.0], [image.shape[1] - 2.0, 40.0]], np.float32)
+        f = Features.from_numpy(uv, 8)
+        d = compute_descriptors(jnp.asarray(image), f, BriefOptions())
+        assert not np.asarray(d.valid)[:2].any()
+        assert np.asarray(d.words)[:2].sum() == 0
+
+    def test_rotation_covariance(self, image):
+        """The same corner rotated 90 deg yields a nearby descriptor — the
+        steering makes bits approximately rotation-covariant."""
+        from feature_detector_tpu.oracle import brief as obrief
+
+        patch = image[100:201, 200:301]
+        rot = np.rot90(patch).copy()
+        opts = BriefOptions()
+        b0, v0 = obrief.compute_one_binned(patch, (50, 50), opts)
+        b1, v1 = obrief.compute_one_binned(rot, (50, 50), opts)
+        assert v0 and v1
+        dist = int((b0 != b1).sum())
+        assert dist < 80, f"rotated descriptor distance {dist}"
 
 
 class TestHammingMatcher:
