@@ -180,6 +180,13 @@ class BAOptions:
     # that camera's (possibly badly initialized) pose and blocks the solver
     # from ever correcting it.
     num_fixed_cameras: int = 1
+    # Outlier gating (chi²-style): after each LM round, observations with a
+    # residual norm beyond gate_px pixels are hard-excluded and the solve is
+    # repeated (gate_rounds times).  Huber alone leaves an L1-like constant
+    # pull from gross mismatches that measurably biases the optimum; gating
+    # removes it.  0 disables gating.
+    gate_px: float = 0.0
+    gate_rounds: int = 2
 
 
 @_frozen

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from ..core.config import MatcherOptions
 from ..core.types import Matches
 
-_BIG = jnp.int32(1 << 20)
+# Sentinel distance for invalid entries.  MUST stay a Python int: a
+# module-level `jnp.int32` constant lives on the default device, and on a
+# tunneled TPU platform embedding it during tracing stalls the FIRST
+# `jit.lower()` that touches it for ~7 minutes (measured 402 s — the
+# "698 s matcher compile" of BENCH_r01 was this, not XLA compile time).
+_BIG = 1 << 20
 
 
 def _unpack_pm1(words: jnp.ndarray) -> jnp.ndarray:

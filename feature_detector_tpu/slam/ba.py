@@ -49,8 +49,13 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray
 
 
-def _per_landmark_blocks(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, opts: BAOptions):
+def _per_landmark_blocks(
+    rot, trans, points, obs_cam, obs_uv, cam: Pinhole, opts: BAOptions, obs_w=None
+):
     """Per-landmark residuals and Jacobian blocks.
+
+    ``obs_w`` is an optional [L, D] extra weight (0/1 gate mask from outlier
+    rejection rounds); it multiplies into the IRLS weight.
 
     Returns (valid [L, D], r [L, D, 2], Jc [L, D, 2, 6], Jp [L, D, 2, 3], w [L, D]).
     """
@@ -69,10 +74,12 @@ def _per_landmark_blocks(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, opts
     Jp = Jpi @ R                                          # [L, D, 2, 3]
 
     w = huber_weight(jnp.sum(r * r, -1), opts.huber_delta) * valid
+    if obs_w is not None:
+        w = w * obs_w
     return valid, r, Jc, Jp, w
 
 
-def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams):
+def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams, obs_w=None):
     """Partial normal equations from a landmark shard.
 
     Returns (S [6C, 6C] Schur-reduced camera system contribution,
@@ -80,7 +87,9 @@ def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams):
              Hpp_inv [L, 3, 3], b_p [L, 3], Y-related terms for back-subst).
     """
     L, D = obs_cam.shape
-    valid, r, Jc, Jp, w = _per_landmark_blocks(rot, trans, points, obs_cam, obs_uv, cam, opts)
+    valid, r, Jc, Jp, w = _per_landmark_blocks(
+        rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w
+    )
     sw = jnp.sqrt(w)[..., None, None]
     Jc = Jc * sw
     Jp = Jp * sw
@@ -147,41 +156,158 @@ def reprojection_cost(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> jnp.
     return jnp.sum(jnp.sum(r * r, -1) * w) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def _cost(rot, trans, points, obs_cam, obs_uv, cam, opts):
-    valid, r, _, _, w = _per_landmark_blocks(rot, trans, points, obs_cam, obs_uv, cam, opts)
-    return jnp.sum(jnp.sum(r * r, -1) * w)
+def _cost(rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w=None):
+    """TRUE Huber objective (the function the IRLS step minimizes).
+
+    The round-1 merit function was Σ w·r² = δ·‖r‖ on outliers, which is NOT
+    the Huber loss the IRLS weights descend (ρ = 2δ‖r‖ − δ² there) — the
+    accept/reject test then compares a different objective than the step
+    optimizer's, causing false rejections and a visible convergence crawl.
+    """
+    valid, r, _, _, _ = _per_landmark_blocks(
+        rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w
+    )
+    r2 = jnp.sum(r * r, -1)
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    d = opts.huber_delta
+    rho = jnp.where(rn <= d, r2, 2.0 * d * rn - d * d)
+    mask = (obs_cam >= 0).astype(rho.dtype)
+    if obs_w is not None:
+        mask = mask * obs_w
+    return jnp.sum(rho * mask)
+
+
+def _residual_norms(rot, trans, points, obs_cam, obs_uv, cam, opts):
+    valid, r, _, _, _ = _per_landmark_blocks(
+        rot, trans, points, obs_cam, obs_uv, cam, opts
+    )
+    return jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-12)), valid
+
+
+def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: float):
+    """Per-landmark consensus re-estimation + observation gating.
+
+    Residual gating alone cannot reject an outlier that the landmark's 3D
+    point has ABSORBED (the point collapses onto the outlier ray: the
+    outlier's residual goes to ~0 while the clean siblings' residuals blow
+    up — observed on the synthetic outlier test).  With cameras already
+    well-constrained by the clean landmarks, each landmark is re-estimated
+    independently by a mini-RANSAC over its observation pairs:
+
+    1. hypothesize a 3D point from every observation pair via closed-form
+       midpoint triangulation (3x3 solve — no SVD, vmaps over [L, D, D]);
+    2. score every hypothesis (plus the current point) by how many of the
+       landmark's observations reproject within ``gate_px``;
+    3. keep the best-supported point and gate the observations outside its
+       consensus set.
+
+    Returns (new_points [L, 3], obs_w [L, D] 0/1 gate mask).
+    """
+    L, D = obs_cam.shape
+    n_cams = rot.shape[0]
+    valid = obs_cam >= 0
+    cam_idx = jnp.clip(obs_cam, 0, n_cams - 1)
+    R = rot[cam_idx]                                     # [L, D, 3, 3]
+    t = trans[cam_idx]                                   # [L, D, 3]
+    centers = -jnp.einsum("ldji,ldj->ldi", R, t)         # [L, D, 3]
+
+    # World-frame viewing rays.
+    rx = (obs_uv[..., 0] - cam.cx) / cam.fx
+    ry = (obs_uv[..., 1] - cam.cy) / cam.fy
+    rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], -1)  # [L, D, 3]
+    rays_w = jnp.einsum("ldji,ldj->ldi", R, rays_c)
+    rays_w = rays_w / jnp.linalg.norm(rays_w, axis=-1, keepdims=True)
+
+    # Midpoint triangulation: sum over the pair of (I - d dᵀ) x = (I - d dᵀ) c.
+    eye = jnp.eye(3)
+    M = eye - rays_w[..., :, None] * rays_w[..., None, :]   # [L, D, 3, 3]
+    Mc = jnp.einsum("ldij,ldj->ldi", M, centers)            # [L, D, 3]
+    A = M[:, :, None] + M[:, None, :]                       # [L, D, D, 3, 3]
+    rhs = Mc[:, :, None] + Mc[:, None, :]                   # [L, D, D, 3]
+    A = A + 1e-6 * eye
+    hyp = jnp.linalg.solve(A, rhs[..., None])[..., 0]       # [L, D, D, 3]
+
+    # Candidate set: all pairs + the current point.
+    hyp = jnp.concatenate(
+        [hyp.reshape(L, D * D, 3), points[:, None, :]], axis=1
+    )                                                        # [L, H, 3]
+    pair_ok = (valid[:, :, None] & valid[:, None, :]
+               & ~jnp.eye(D, dtype=bool)[None]).reshape(L, D * D)
+    hyp_ok = jnp.concatenate([pair_ok, jnp.ones((L, 1), bool)], axis=1)
+
+    # Score: reproject every hypothesis into every observing camera.
+    pc = jnp.einsum("ldij,lhj->lhdi", R, hyp) + t[:, None]   # [L, H, D, 3]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = cam.fx * pc[..., 0] / z + cam.cx
+    v = cam.fy * pc[..., 1] / z + cam.cy
+    du = u - obs_uv[:, None, :, 0]
+    dv = v - obs_uv[:, None, :, 1]
+    rn = jnp.sqrt(du * du + dv * dv + 1e-12)                 # [L, H, D]
+    inl = (rn < gate_px) & valid[:, None, :] & (pc[..., 2] > 1e-6)
+    support = jnp.sum(inl, -1) - 1e-3 * jnp.clip(
+        jnp.mean(jnp.where(inl, rn, 0.0), -1), 0.0, 1e3
+    )                                                        # [L, H]
+    support = jnp.where(hyp_ok, support, -1.0)
+    best = jnp.argmax(support, axis=1)                       # [L]
+    new_pts = jnp.take_along_axis(hyp, best[:, None, None], 1)[:, 0]
+    obs_w = jnp.take_along_axis(inl, best[:, None, None], 1)[:, 0]
+    # A landmark with <2 consensus obs is unconstrained: freeze it (weight 0
+    # everywhere keeps its point out of the camera system entirely).
+    enough = jnp.sum(obs_w, -1) >= 2
+    obs_w = obs_w & enough[:, None]
+    new_pts = jnp.where(enough[:, None], new_pts, points)
+    return new_pts, obs_w.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "opts"))
 def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions()) -> BAProblem:
-    """Single-device Levenberg-Marquardt loop: fixed trip count, accept/reject
-    steps with adaptive damping (rejected steps raise lambda and retry)."""
+    """Levenberg-Marquardt with chi²-style outlier gating rounds.
 
-    def body(_, state):
-        rot, trans, points, lam, cost = state
-        out = _assemble(
-            rot, trans, points, problem.obs_cam, problem.obs_uv, cam, opts, rot.shape[0]
+    Each round runs ``max_iterations`` fixed-trip LM iterations
+    (accept/reject on the true Huber objective; rejected steps raise
+    lambda), then — when ``gate_px > 0`` — re-classifies every observation
+    by its residual norm and HARD-EXCLUDES those beyond the gate before
+    the next round (ORB-SLAM-style).  Gating is essential for gross
+    outliers: Huber alone leaves an L1-like constant pull that biases the
+    optimum (a handful of 80 px mismatches measurably bends the whole
+    trajectory; observed: clean-landmark residuals stuck at ~1.4 px rms
+    with pure Huber, sub-0.1 px with gating).
+    """
+    obs_cam, obs_uv = problem.obs_cam, problem.obs_uv
+
+    def lm_round(rot, trans, points, obs_w):
+        def body(_, state):
+            rot, trans, points, lam, cost = state
+            out = _assemble(
+                rot, trans, points, obs_cam, obs_uv, cam, opts, rot.shape[0], obs_w
+            )
+            rot2, trans2, points2, _ = _solve_and_update(rot, trans, points, *out, opts, lam)
+            new_cost = _cost(rot2, trans2, points2, obs_cam, obs_uv, cam, opts, obs_w)
+            accept = new_cost < cost
+            rot = jnp.where(accept, rot2, rot)
+            trans = jnp.where(accept, trans2, trans)
+            points = jnp.where(accept, points2, points)
+            lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
+            lam = jnp.clip(lam, 1e-9, 1e3)
+            cost = jnp.where(accept, new_cost, cost)
+            return rot, trans, points, lam, cost
+
+        cost0 = _cost(rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w)
+        rot, trans, points, _, _ = jax.lax.fori_loop(
+            0, opts.max_iterations, body,
+            (rot, trans, points, jnp.float32(opts.damping), cost0),
         )
-        rot2, trans2, points2, _ = _solve_and_update(rot, trans, points, *out, opts, lam)
-        new_cost = _cost(rot2, trans2, points2, problem.obs_cam, problem.obs_uv, cam, opts)
-        accept = new_cost < cost
-        rot = jnp.where(accept, rot2, rot)
-        trans = jnp.where(accept, trans2, trans)
-        points = jnp.where(accept, points2, points)
-        lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
-        lam = jnp.clip(lam, 1e-9, 1e3)
-        cost = jnp.where(accept, new_cost, cost)
-        return rot, trans, points, lam, cost
+        return rot, trans, points
 
-    cost0 = _cost(
-        problem.rot, problem.trans, problem.points, problem.obs_cam, problem.obs_uv, cam, opts
-    )
-    rot, trans, points, _, _ = jax.lax.fori_loop(
-        0,
-        opts.max_iterations,
-        body,
-        (problem.rot, problem.trans, problem.points, jnp.float32(opts.damping), cost0),
-    )
+    rot, trans, points = problem.rot, problem.trans, problem.points
+    obs_w = jnp.ones(obs_cam.shape, jnp.float32)
+    rot, trans, points = lm_round(rot, trans, points, obs_w)
+    if opts.gate_px > 0:
+        for _ in range(opts.gate_rounds):
+            points, obs_w = _relandmark(
+                rot, trans, points, obs_cam, obs_uv, cam, opts.gate_px
+            )
+            rot, trans, points = lm_round(rot, trans, points, obs_w)
     return problem._replace(rot=rot, trans=trans, points=points)
 
 
@@ -204,36 +330,52 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
     def step_sharded(rot, trans, points, obs_cam, obs_uv):
         n_cams = rot.shape[0]
 
-        def cost_fn(rot, trans, points):
-            return jax.lax.psum(_cost(rot, trans, points, obs_cam, obs_uv, cam, opts), axis)
-
-        def body(_, state):
-            rot, trans, points, lam, cost = state
-            S, b, Hpp_inv, bp, W, valid, cam_idx = _assemble(
-                rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams
+        def cost_fn(rot, trans, points, obs_w):
+            return jax.lax.psum(
+                _cost(rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w), axis
             )
-            # Reduce the camera system over all landmark shards (ICI psum).
-            S = jax.lax.psum(S, axis)
-            b = jax.lax.psum(b, axis)
-            rot2, trans2, points2, _ = _solve_and_update(
-                rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam
-            )
-            new_cost = cost_fn(rot2, trans2, points2)
-            accept = new_cost < cost
-            rot = jnp.where(accept, rot2, rot)
-            trans = jnp.where(accept, trans2, trans)
-            points = jnp.where(accept, points2, points)
-            lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
-            lam = jnp.clip(lam, 1e-9, 1e3)
-            cost = jnp.where(accept, new_cost, cost)
-            return rot, trans, points, lam, cost
 
-        rot, trans, points, _, _ = jax.lax.fori_loop(
-            0,
-            opts.max_iterations,
-            body,
-            (rot, trans, points, jnp.float32(opts.damping), cost_fn(rot, trans, points)),
-        )
+        def lm_round(rot, trans, points, obs_w):
+            def body(_, state):
+                rot, trans, points, lam, cost = state
+                S, b, Hpp_inv, bp, W, valid, cam_idx = _assemble(
+                    rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams, obs_w
+                )
+                # Reduce the camera system over all landmark shards (ICI psum).
+                S = jax.lax.psum(S, axis)
+                b = jax.lax.psum(b, axis)
+                rot2, trans2, points2, _ = _solve_and_update(
+                    rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam
+                )
+                new_cost = cost_fn(rot2, trans2, points2, obs_w)
+                accept = new_cost < cost
+                rot = jnp.where(accept, rot2, rot)
+                trans = jnp.where(accept, trans2, trans)
+                points = jnp.where(accept, points2, points)
+                lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
+                lam = jnp.clip(lam, 1e-9, 1e3)
+                cost = jnp.where(accept, new_cost, cost)
+                return rot, trans, points, lam, cost
+
+            rot, trans, points, _, _ = jax.lax.fori_loop(
+                0, opts.max_iterations, body,
+                (rot, trans, points, jnp.float32(opts.damping),
+                 cost_fn(rot, trans, points, obs_w)),
+            )
+            return rot, trans, points
+
+        # Gating rounds (see ba_solve): the consensus re-triangulation is
+        # per-landmark, so it runs on the local landmark shard — no
+        # collective needed, each observation lives with its landmark's
+        # owner device.
+        obs_w = jnp.ones(obs_cam.shape, jnp.float32)
+        rot, trans, points = lm_round(rot, trans, points, obs_w)
+        if opts.gate_px > 0:
+            for _ in range(opts.gate_rounds):
+                points, obs_w = _relandmark(
+                    rot, trans, points, obs_cam, obs_uv, cam, opts.gate_px
+                )
+                rot, trans, points = lm_round(rot, trans, points, obs_w)
         return rot, trans, points
 
     n_shards = mesh.shape[axis]

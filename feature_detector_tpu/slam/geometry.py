@@ -322,3 +322,88 @@ def pnp_refine(
     from . import lie as _lie
 
     return _lie.so3_exp(delta[:3]) @ rot, trans + delta[3:]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def pnp_solve(
+    rot0: jnp.ndarray,
+    trans0: jnp.ndarray,
+    points: jnp.ndarray,
+    uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam: Pinhole,
+    *,
+    iters: int = 20,
+    gate_px: float = 3.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Robust pose-only solve (motion-only BA): damped LM + Cauchy IRLS.
+
+    A single unweighted Gauss-Newton step from the motion prior lets ONE
+    gross-outlier observation yank the pose into the small-motion
+    rotation/translation-ambiguity valley, after which local IRLS cannot
+    recover (observed on the synthetic VO arc: a 75 px mismatch among 16
+    points collapsed the whole trajectory).  So:
+
+    1. gate against the PRIOR's residuals — anything beyond
+       max(10 px, 3x the prior median) is excluded outright (the motion
+       prior is the only consensus available before the solve);
+    2. run ``iters`` Levenberg iterations; each evaluates Cauchy IRLS
+       weights at scale ``gate_px``, solves the damped 6x6 normal system,
+       and accepts/rejects on the robust cost (reject raises lambda).
+
+    Fixed-shape and jittable: pad ``points``/``uv`` and mask via ``valid``.
+    """
+    from .camera import projection_jacobian
+    from .lie import hat, so3_exp
+
+    n = uv.shape[0]
+    vf = valid.astype(jnp.float32)
+
+    def errs(rot, trans):
+        pc = points @ rot.T + trans
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        r = jnp.stack([u, v], 1) - uv
+        return r, jnp.sqrt(jnp.sum(r * r, 1) + 1e-12)
+
+    _, e0 = errs(rot0, trans0)
+    srt = jnp.sort(jnp.where(valid, e0, jnp.inf))
+    cnt = jnp.sum(valid).astype(jnp.int32)
+    med = jnp.where(cnt > 0, srt[jnp.clip(cnt // 2, 0, n - 1)], 0.0)
+    keep = vf * (e0 < jnp.maximum(10.0, 3.0 * med)).astype(jnp.float32)
+
+    s2 = gate_px * gate_px
+
+    def rho_cost(en):
+        return jnp.sum(keep * s2 * jnp.log1p(en * en / s2))
+
+    def lm_step(rot, trans, lam):
+        r, en = errs(rot, trans)
+        w = keep / (1.0 + en * en / s2)
+        pc = points @ rot.T + trans
+        jpi = projection_jacobian(pc, cam)                       # [N, 2, 3]
+        jc = jnp.concatenate([-jpi @ hat(pc), jpi], axis=-1)     # [N, 2, 6]
+        jw = jc * w[:, None, None]
+        h = jnp.einsum("nki,nkj->ij", jw, jc)
+        g = jnp.einsum("nki,nk->i", jw, r)
+        h = h + lam * jnp.diag(jnp.diagonal(h)) + 1e-6 * jnp.eye(6)
+        delta = -jnp.linalg.solve(h, g)
+        return so3_exp(delta[:3]) @ rot, trans + delta[3:]
+
+    def body(_, st):
+        rot, trans, lam, cost = st
+        rot2, trans2 = lm_step(rot, trans, lam)
+        _, en2 = errs(rot2, trans2)
+        c2 = rho_cost(en2)
+        ok = jnp.isfinite(c2) & (c2 < cost)
+        rot = jnp.where(ok, rot2, rot)
+        trans = jnp.where(ok, trans2, trans)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e4)
+        cost = jnp.where(ok, c2, cost)
+        return rot, trans, lam, cost
+
+    _, e_init = errs(rot0, trans0)
+    st = (rot0, trans0, jnp.float32(1e-3), rho_cost(e_init))
+    rot, trans, _, _ = jax.lax.fori_loop(0, iters, body, st)
+    return rot, trans

@@ -312,32 +312,68 @@ class VOResult:
     translations_wc: np.ndarray  # [F, 3]
     points: np.ndarray  # [L, 3] triangulated landmarks (world)
     num_tracks: int
+    problem: Optional[BAProblem] = None  # pre-BA problem (diagnostics)
+    solved: Optional[BAProblem] = None  # post-BA problem (diagnostics)
 
 
 def _build_tracks(
-    match_idx: List[np.ndarray], num_feats: List[int], min_length: int = 2
+    pair_matches: List[Tuple[int, int, np.ndarray]],
+    n_frames: int,
+    n_feats: int,
+    min_length: int = 2,
 ) -> List[List[Tuple[int, int]]]:
-    """Chain per-pair matches into feature tracks.
+    """Union-find over (frame, feature) nodes across ALL matched pairs.
 
-    match_idx[f][i] = index in frame f+1 matched to feature i of frame f (or
-    -1).  Host-side bookkeeping — inherently sequential, tiny (≤ a few
-    hundred features per frame), and runs once per sequence.
+    pair_matches is a list of (fa, fb, idx) with idx[i] = feature index in
+    frame fb matched to feature i of frame fa (or -1).  Including skip-frame
+    pairs (fb = fa+2) bridges single-frame detection dropouts — without them
+    mean track length on the synthetic arc is ~2.8 of 5 frames, which leaves
+    the camera chain's inter-frame scale nearly unobservable (monocular scale
+    drift: BA wanders ~0.3 m along the flat direction even from ground-truth
+    init; measured in tools/debug_tracks.py).
+
+    A merged component holding two different features of the SAME frame is
+    contradictory (one physical corner cannot be in two places) — those
+    components are dropped outright rather than arbitrated.
+
+    Host-side bookkeeping: tiny (≤ a few hundred features/frame), runs once.
     """
-    track_of = [np.full(n, -1, np.int64) for n in num_feats]
-    tracks: List[List[Tuple[int, int]]] = []
-    for f, idx in enumerate(match_idx):
+    parent = np.arange(n_frames * n_feats, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for fa, fb, idx in pair_matches:
         for i, j in enumerate(idx):
-            if j < 0:
-                continue
-            t = track_of[f][i]
-            if t < 0:
-                t = len(tracks)
-                tracks.append([(f, i)])
-                track_of[f][i] = t
-            if track_of[f + 1][j] < 0:
-                tracks[t].append((f + 1, int(j)))
-                track_of[f + 1][j] = t
-    return [t for t in tracks if len(t) >= min_length]
+            if j >= 0:
+                ra, rb = find(fa * n_feats + i), find(fb * n_feats + int(j))
+                if ra != rb:
+                    parent[rb] = ra
+
+    groups: dict = {}
+    touched = set()
+    for fa, fb, idx in pair_matches:
+        for i, j in enumerate(idx):
+            if j >= 0:
+                touched.add(fa * n_feats + i)
+                touched.add(fb * n_feats + int(j))
+    for node in touched:
+        groups.setdefault(find(node), []).append(node)
+
+    tracks: List[List[Tuple[int, int]]] = []
+    for nodes in groups.values():
+        obs = sorted((n // n_feats, n % n_feats) for n in nodes)
+        frames = [f for f, _ in obs]
+        if len(set(frames)) != len(frames):
+            continue  # same-frame conflict: contradictory merge, drop
+        if len(obs) >= min_length:
+            tracks.append(obs)
+    return tracks
 
 
 def _pick_init_pair(
@@ -383,7 +419,9 @@ def run_visual_odometry(
     det_opts: Optional[DetectorOptions] = None,
     brief_opts: BriefOptions = BriefOptions(),
     match_opts: MatcherOptions = MatcherOptions(ratio=0.85),
-    ba_opts: BAOptions = BAOptions(max_iterations=12),
+    ba_opts: BAOptions = BAOptions(
+        max_iterations=12, huber_delta=2.0, gate_px=3.0, gate_rounds=2
+    ),
     mesh=None,
     max_track_obs: int = 6,
     max_reproj_px: float = 3.0,
@@ -436,38 +474,45 @@ def run_visual_odometry(
     feats, words, dvalid = frontend(imgs)
 
     @jax.jit
-    def match_pairs(words, dvalid):
+    def match_pairs(wa, va, wb, vb):
         return jax.vmap(
-            lambda wa, va, wb, vb: match_hamming(wa, va, wb, vb, match_opts)
-        )(words[:-1], dvalid[:-1], words[1:], dvalid[1:])
+            lambda a, x, b, y: match_hamming(a, x, b, y, match_opts)
+        )(wa, va, wb, vb)
 
-    matches = match_pairs(words, dvalid)
     uv_np = np.asarray(feats.uv)
     valid_np = np.asarray(feats.valid)
-    midx = np.asarray(matches.index)
-    mvalid = np.asarray(matches.valid)
-    midx = np.where(mvalid, midx, -1)
 
-    # --- per-pair epipolar RANSAC: keep only geometrically consistent
-    # matches (two_view_init's inlier mask) in the track graph.
-    for f in range(n_frames - 1):
-        i_f = midx[f]
-        sel = np.clip(i_f, 0, None)
-        pair_valid = jnp.asarray((i_f >= 0) & valid_np[f])
-        _, _, _, inlier = geometry.two_view_init(
-            jnp.asarray(uv_np[f]),
-            jnp.asarray(uv_np[f + 1][sel]),
-            pair_valid,
-            cam,
-            cheirality_gate=False,
+    # Match frame pairs at offsets 1 AND 2: skip-frame pairs bridge
+    # single-frame detection dropouts (a corner that loses its per-patch NMS
+    # race in one frame re-appears in the next), roughly doubling mean track
+    # length — which is what couples inter-frame scale along the camera
+    # chain and keeps monocular BA out of the scale-drift flat direction.
+    pair_matches: List[Tuple[int, int, np.ndarray]] = []
+    for off in (1, 2):
+        if n_frames <= off:
+            continue
+        m = match_pairs(
+            words[:-off], dvalid[:-off], words[off:], dvalid[off:]
         )
-        midx[f] = np.where(np.asarray(inlier), i_f, -1)
+        midx = np.where(np.asarray(m.valid), np.asarray(m.index), -1)
+        # Per-pair epipolar RANSAC: keep only geometrically consistent
+        # matches (two_view_init's inlier mask) in the track graph.
+        for f in range(n_frames - off):
+            i_f = midx[f]
+            sel = np.clip(i_f, 0, None)
+            pair_valid = jnp.asarray((i_f >= 0) & valid_np[f])
+            _, _, _, inlier = geometry.two_view_init(
+                jnp.asarray(uv_np[f]),
+                jnp.asarray(uv_np[f + off][sel]),
+                pair_valid,
+                cam,
+                cheirality_gate=False,
+            )
+            pair_matches.append(
+                (f, f + off, np.where(np.asarray(inlier), i_f, -1))
+            )
 
-    # --- tracks from consecutive inlier matches ---
-    tracks = _build_tracks(
-        [midx[f] for f in range(n_frames - 1)],
-        [det_opts.max_features] * n_frames,
-    )
+    tracks = _build_tracks(pair_matches, n_frames, det_opts.max_features)
 
     # --- two-view initialization on the widest reliable pair (0, j*) ---
     j_init, r_init, t_init, init_mi, init_inl = _pick_init_pair(
@@ -517,6 +562,69 @@ def run_visual_odometry(
             if ok[k] and np.isnan(track_pt[t_id, 0]):
                 track_pt[t_id] = pts[k]
 
+    def _collect_good(f_max: int):
+        """Tracks with a 3D point and ≥2 observations in frames ≤ f_max."""
+        out = []
+        for t_id, tr in enumerate(tracks):
+            if np.isnan(track_pt[t_id, 0]):
+                continue
+            obs = [(fr, i) for fr, i in tr if fr <= f_max]
+            if len(obs) >= 2:
+                out.append((t_id, obs))
+        return out
+
+    def _build_problem(rots_arr, trans_arr, good_tracks, pts_override=None, pad_to=None):
+        n_pts = len(good_tracks)
+        L = n_pts if pad_to is None else max(pad_to, n_pts)
+        deg = max_track_obs
+        obs_cam = np.full((L, deg), -1, np.int32)
+        obs_uv = np.zeros((L, deg, 2), np.float32)
+        pts0 = np.zeros((L, 3), np.float32)
+        for k, (t_id, tr) in enumerate(good_tracks):
+            pts0[k] = track_pt[t_id] if pts_override is None else pts_override[k]
+            for d, (fr, i) in enumerate(tr[:deg]):
+                obs_cam[k, d] = fr
+                obs_uv[k, d] = uv_np[fr, i]
+        # Unused slots keep obs_cam = -1 — BAProblem treats them as masked.
+        return BAProblem(
+            rot=jnp.asarray(np.asarray(rots_arr, np.float32)),
+            trans=jnp.asarray(np.asarray(trans_arr, np.float32)),
+            points=jnp.asarray(pts0),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_uv=jnp.asarray(obs_uv),
+        )
+
+    def local_ba(f: int):
+        """Incremental windowed BA over frames 0..f after registering f.
+
+        Registering each frame against a FROZEN map accumulates error that a
+        single terminal BA cannot always undo (observed: the synthetic arc's
+        last two frames collapse onto each other in a local minimum that
+        global BA keeps).  Refining all poses ≤ f and the map immediately
+        after every registration — standard VO practice — keeps every
+        frame's error at the noise floor before the next one registers.
+        Landmark count pads to a 32 bucket so jit recompiles stay bounded.
+        """
+        good_now = _collect_good(f)
+        if len(good_now) < 8:
+            return
+        pad = ((len(good_now) + 31) // 32) * 32
+        prob = _build_problem(
+            np.stack(rots[: f + 1]), np.stack(trans[: f + 1]), good_now, pad_to=pad
+        )
+        opts_local = dataclasses.replace(ba_opts, max_iterations=10, gate_rounds=1)
+        solved = ba_solve(prob, cam, opts_local)
+        r_s = np.asarray(solved.rot)
+        t_s = np.asarray(solved.trans)
+        p_s = np.asarray(solved.points)
+        if not (np.isfinite(r_s).all() and np.isfinite(t_s).all()):
+            return
+        for fr in range(f + 1):
+            rots[fr], trans[fr] = r_s[fr], t_s[fr]
+        for k, (t_id, _) in enumerate(good_now):
+            if np.isfinite(p_s[k]).all():
+                track_pt[t_id] = p_s[k]
+
     # Seed the map from the init pair (0, j*): triangulate its direct inlier
     # matches with poses (I | r_init, t_init) — the widest, best-conditioned
     # baseline available — and attach each point to the track that holds the
@@ -535,43 +643,71 @@ def run_visual_odometry(
             seed_pairs.append((t_id, uv_np[0, i], uv_np[j_init, j_feat]))
     triangulate_frame_pair(0, j_init, seed_pairs)
 
+    def _pose_prior(f: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Motion prior for frame f's PnP.
+
+        - f == j_init: the two-view init pose itself;
+        - f < j_init: interpolate between frame 0 (identity) and the init
+          pose — a far better basin seed than "previous frame" when the arc
+          rotates (the rotation/translation ambiguity valley starts at
+          identity);
+        - f > j_init: constant-velocity extrapolation from the last two
+          registered frames.
+        """
+        if f == j_init:
+            return rots[j_init], trans[j_init]
+        if f < j_init:
+            a = f / float(j_init)
+            w_full = np.asarray(lie.so3_log(jnp.asarray(rots[j_init])))
+            r = np.asarray(lie.so3_exp(jnp.asarray(a * w_full)), np.float32)
+            # Interpolate camera centers linearly (arc ≈ chord for small f).
+            c_full = -rots[j_init].T @ trans[j_init]
+            c = a * c_full
+            return r, (-r @ c).astype(np.float32)
+        # Constant velocity: T_f ≈ ΔT · T_{f-1} with ΔT = T_{f-1} · T_{f-2}⁻¹
+        # (world→camera convention: later transforms compose on the left).
+        r_prev, t_prev = rots[f - 1], trans[f - 1]
+        if f < 2:
+            return r_prev, t_prev
+        ri, ti = lie.se3_inverse(jnp.asarray(rots[f - 2]), jnp.asarray(trans[f - 2]))
+        dr, dt = lie.se3_compose(jnp.asarray(r_prev), jnp.asarray(t_prev), ri, ti)
+        rf, tf = lie.se3_compose(dr, dt, jnp.asarray(r_prev), jnp.asarray(t_prev))
+        return np.asarray(rf, np.float32), np.asarray(tf, np.float32)
+
+    max_known = det_opts.max_features
     for f in range(1, n_frames):
-        # Register frame f against known track points (PnP refinement from the
-        # previous pose, few Gauss-Newton steps).
+        # Register frame f against known track points: robust PnP (prior-
+        # gated Cauchy IRLS + damped LM, see geometry.pnp_solve) from the
+        # motion prior.  Fixed-size padding keeps one jit compilation.
         known = [
             (t_id, uv)
             for t_id, uv in obs_by_frame[f]
             if not np.isnan(track_pt[t_id, 0])
         ]
-        if f == j_init:
-            r0_np, t0_np = rots[j_init], trans[j_init]
-        else:
-            r0_np, t0_np = rots[f - 1], trans[f - 1]
+        r0_np, t0_np = _pose_prior(f)
         r, t = jnp.asarray(r0_np), jnp.asarray(t0_np)
         # PnP needs enough support to be trustworthy; with fewer points, keep
-        # the previous pose (BA will still refine it through its own tracks).
+        # the prior (BA will still refine it through its own tracks).
         if len(known) >= 6:
-            pts_np = np.stack([track_pt[t_id] for t_id, _ in known])
-            uvs_np = np.stack([uv for _, uv in known])
-            pts = jnp.asarray(pts_np)
-            uvs = jnp.asarray(uvs_np)
-            w = jnp.ones(len(known))
-            for it in range(6):
-                r, t = geometry.pnp_refine(r, t, pts, uvs, w, cam)
-                # IRLS (Cauchy) reweighting: map points contaminated by a
-                # surviving mismatch must not drag the pose.
-                err = _reproj_err(pts_np, r, t, uvs_np)
-                w = jnp.asarray(1.0 / (1.0 + (err / max_reproj_px) ** 2))
-            # Diverged-solve guard: an ill-conditioned normal system can send
-            # the pose to infinity; fall back to the motion prior.
-            if not np.isfinite(np.asarray(t)).all() or np.linalg.norm(
-                np.asarray(t) - t0_np
-            ) > 10.0 * (1.0 + np.linalg.norm(t0_np)):
+            k = min(len(known), max_known)
+            pts_np = np.zeros((max_known, 3), np.float32)
+            uvs_np = np.zeros((max_known, 2), np.float32)
+            valid = np.zeros(max_known, bool)
+            pts_np[:k] = np.stack([track_pt[t_id] for t_id, _ in known[:k]])
+            uvs_np[:k] = np.stack([uv for _, uv in known[:k]])
+            valid[:k] = True
+            r, t = geometry.pnp_solve(
+                r, t, jnp.asarray(pts_np), jnp.asarray(uvs_np), jnp.asarray(valid),
+                cam, iters=20, gate_px=max_reproj_px,
+            )
+            # Keep whichever of {prior, solve} explains the data better —
+            # a residual safety net on top of pnp_solve's own gating.
+            e0 = np.median(_reproj_err(pts_np[:k], r0_np, t0_np, uvs_np[:k]))
+            e1 = np.median(_reproj_err(pts_np[:k], r, t, uvs_np[:k]))
+            if not np.isfinite(np.asarray(t)).all() or e1 > e0:
                 r, t = jnp.asarray(r0_np), jnp.asarray(t0_np)
             import os as _os
             if _os.environ.get("FD_VO_DEBUG"):
-                e0 = np.median(_reproj_err(pts_np, r0_np, t0_np, uvs_np))
-                e1 = np.median(_reproj_err(pts_np, r, t, uvs_np))
                 print(f"[vo] frame {f}: known={len(known)} med reproj {e0:.2f} -> {e1:.2f}px")
         rots[f] = np.asarray(r, np.float32)
         trans[f] = np.asarray(t, np.float32)
@@ -593,44 +729,80 @@ def run_visual_odometry(
         for fa, new_pairs in by_first.items():
             triangulate_frame_pair(fa, f, new_pairs)
 
+        # Incremental windowed BA: refine all poses ≤ f and the map now.
+        local_ba(f)
+
     rots_np = np.stack(rots)
     trans_np = np.stack(trans)
 
     # --- global BA over all tracks with ≥2 obs and a 3D point ---
-    good = [
-        (t_id, tr)
-        for t_id, tr in enumerate(tracks)
-        if not np.isnan(track_pt[t_id, 0])
-    ]
-    if good:
-        n_pts = len(good)
-        deg = max_track_obs
-        obs_cam = np.full((n_pts, deg), -1, np.int32)
-        obs_uv = np.zeros((n_pts, deg, 2), np.float32)
-        pts0 = np.zeros((n_pts, 3), np.float32)
-        for k, (t_id, tr) in enumerate(good):
-            pts0[k] = track_pt[t_id]
-            for d, (f, i) in enumerate(tr[:deg]):
-                obs_cam[k, d] = f
-                obs_uv[k, d] = uv_np[f, i]
-        # Pad unused slots by repeating the first observation with itself —
-        # BAProblem treats obs_cam < 0 as masked.
-        problem = BAProblem(
-            rot=jnp.asarray(rots_np),
-            trans=jnp.asarray(trans_np),
-            points=jnp.asarray(pts0),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_uv=jnp.asarray(obs_uv),
-        )
+    good = _collect_good(n_frames - 1)
+
+    def solve(problem):
         if mesh is not None:
-            solve = make_distributed_ba(mesh, cam, ba_opts)
-            solved = solve(problem)
-        else:
-            solved = ba_solve(problem, cam, ba_opts)
+            return make_distributed_ba(mesh, cam, ba_opts)(problem)
+        return ba_solve(problem, cam, ba_opts)
+
+    if good:
+        problem = _build_problem(rots_np, trans_np, good)
+        solved = solve(problem)
+
+        # --- guided re-association + second BA pass ---
+        # With converged poses and points, recover observations the matcher
+        # missed: project each track's point into every frame it lacks, claim
+        # the nearest unclaimed detection if it agrees both geometrically
+        # (< reassoc_px) and photometrically (Hamming distance to the track's
+        # reference descriptor).  Longer tracks rigidify the inter-frame
+        # scale chain — the dominant monocular-BA error mode on short arcs.
+        words_np = np.asarray(words)  # [F, N, W] uint32
+        rsolved = np.asarray(solved.rot)
+        tsolved = np.asarray(solved.trans)
+        psolved = np.asarray(solved.points)
+        occupied = np.full((n_frames, det_opts.max_features), -1, np.int64)
+        for t_id, tr in enumerate(tracks):
+            for f, i in tr:
+                occupied[f, i] = t_id
+        popcount = np.vectorize(lambda x: bin(x).count("1"))
+
+        def _ham(a, b):  # [W] u32 vs [M, W] u32 -> [M]
+            return popcount((a[None, :] ^ b).view(np.uint32)).sum(1)
+
+        reassoc_px = max_reproj_px
+        added = 0
+        new_good = []
+        for k, (t_id, tr) in enumerate(good):
+            have = {f for f, _ in tr}
+            ref_words = words_np[tr[0][0], tr[0][1]]
+            obs = list(tr)
+            for f in range(n_frames):
+                if f in have or len(obs) >= max_track_obs:
+                    continue
+                pc = rsolved[f] @ psolved[k] + tsolved[f]
+                if pc[2] < 1e-3:
+                    continue
+                u = cam.fx * pc[0] / pc[2] + cam.cx
+                v = cam.fy * pc[1] / pc[2] + cam.cy
+                d2 = np.hypot(uv_np[f, :, 0] - u, uv_np[f, :, 1] - v)
+                d2[~valid_np[f]] = np.inf
+                d2[occupied[f] >= 0] = np.inf
+                i_best = int(np.argmin(d2))
+                if d2[i_best] > reassoc_px:
+                    continue
+                if _ham(ref_words, words_np[f, i_best : i_best + 1])[0] > 80:
+                    continue
+                obs.append((f, i_best))
+                occupied[f, i_best] = t_id
+                added += 1
+            new_good.append((t_id, sorted(obs)))
+
+        if added:
+            problem2 = _build_problem(rsolved, tsolved, new_good, pts_override=psolved)
+            solved = solve(problem2)
         rots_np = np.asarray(solved.rot)
         trans_np = np.asarray(solved.trans)
         points = np.asarray(solved.points)
     else:
+        problem = solved = None
         points = np.zeros((0, 3), np.float32)
 
     centers = -np.einsum("fji,fj->fi", rots_np, trans_np)
@@ -645,4 +817,6 @@ def run_visual_odometry(
         translations_wc=trans_np,
         points=points,
         num_tracks=len(tracks),
+        problem=problem,
+        solved=solved,
     )

@@ -111,7 +111,12 @@ class TestBA:
         obs_uv = np.asarray(gt.obs_uv).copy()
         obs_uv[::13, 0] += 80.0  # gross outliers
         noisy = perturb(gt._replace(obs_uv=jnp.asarray(obs_uv)), rng)
-        opts = BAOptions(max_iterations=15, damping=1e-4, huber_delta=2.0)
+        # Huber alone leaves an L1-like constant pull from the gross outliers
+        # that biases the optimum (clean residuals plateaued at ~1.4 px rms);
+        # chi²-style gating rounds remove the outliers outright.
+        opts = BAOptions(
+            max_iterations=15, damping=1e-4, huber_delta=2.0, gate_px=2.5, gate_rounds=2
+        )
         solved = ba_solve(noisy, CAM, opts)
         # Residuals of UNCORRUPTED landmarks must be small (the corrupted
         # landmarks' 3D points legitimately absorb some outlier pull).
