@@ -187,6 +187,15 @@ class BAOptions:
     # removes it.  0 disables gating.
     gate_px: float = 0.0
     gate_rounds: int = 2
+    # Adaptive residual clipping (active only when gate_px > 0): at the start
+    # of each LM round, observations whose residual norm exceeds
+    # median + mad_clip·1.4826·MAD get zero weight for that round.  Pure
+    # Huber lets gross outliers bend the cameras DURING the first round
+    # (their L1 pull is constant, so the optimum trades clean residuals
+    # against them — observed: clean rms drifted 0.6 → 1.5 px before gating
+    # ever ran, at which point a fixed pixel gate chops clean observations).
+    # The MAD rule is self-scaling and platform-insensitive.  0 disables.
+    mad_clip: float = 5.0
 
 
 @_frozen

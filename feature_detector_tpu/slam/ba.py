@@ -19,6 +19,7 @@ table):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -184,6 +185,30 @@ def _residual_norms(rot, trans, points, obs_cam, obs_uv, cam, opts):
     return jnp.sqrt(jnp.maximum(jnp.sum(r * r, -1), 1e-12)), valid
 
 
+def _masked_median(x, mask):
+    """Median of x[mask] (any shape), computed by sort — jit-safe."""
+    big = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(big.ravel())
+    n = jnp.maximum(jnp.sum(mask), 1)
+    lo = s[jnp.maximum((n - 1) // 2, 0)]
+    hi = s[n // 2]
+    return 0.5 * (lo + hi)
+
+
+def _mad_gate(rn, mask, k):
+    """0/1 mask keeping residual norms within median + k·1.4826·MAD.
+
+    The scaled MAD estimates σ robustly even with a gross-outlier tail;
+    clipping at ~k σ above the median zeroes the outliers' influence from
+    the very first LM iteration instead of letting their constant Huber/L1
+    pull bend the cameras for a whole round.
+    """
+    med = _masked_median(rn, mask)
+    mad = _masked_median(jnp.abs(rn - med), mask)
+    cutoff = med + k * 1.4826 * mad + 1e-3
+    return (rn <= cutoff).astype(jnp.float32)
+
+
 def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: float):
     """Per-landmark consensus re-estimation + observation gating.
 
@@ -192,14 +217,25 @@ def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: floa
     outlier's residual goes to ~0 while the clean siblings' residuals blow
     up — observed on the synthetic outlier test).  With cameras already
     well-constrained by the clean landmarks, each landmark is re-estimated
-    independently by a mini-RANSAC over its observation pairs:
+    independently by a mini-RANSAC over observation subsets:
 
-    1. hypothesize a 3D point from every observation pair via closed-form
-       midpoint triangulation (3x3 solve — no SVD, vmaps over [L, D, D]);
-    2. score every hypothesis (plus the current point) by how many of the
-       landmark's observations reproject within ``gate_px``;
-    3. keep the best-supported point and gate the observations outside its
-       consensus set.
+    1. hypothesize 3D points via closed-form midpoint triangulation (3x3
+       solve, vmapped) from (a) every observation PAIR, (b) every
+       LEAVE-ONE-OUT subset, (c) the FULL observation set — plus (d) the
+       current point.  Pairs alone are not enough: consecutive-camera pairs
+       have near-parallel rays, and their depth error reprojects inside the
+       gate on the triangulating pair but ruins the others (observed:
+       clean-landmark cost jumped 2.3 → 63 px² when pair hypotheses with
+       inlier-count ties beat the current point).  Leave-one-out subsets use
+       the full baseline and cover the 1-outlier case exactly.
+    2. score every hypothesis by how many of the landmark's observations
+       reproject within ``gate_px``; ties break to the smallest mean INLIER
+       residual, then to the current point (stability: never replace a point
+       that explains the data equally well);
+    3. REFIT the winner on its full consensus set (midpoint triangulation
+       over all inlier rays — the standard RANSAC refit) and keep the refit
+       whenever it preserves the support; gate observations outside the
+       final consensus.
 
     Returns (new_points [L, 3], obs_w [L, D] 0/1 gate mask).
     """
@@ -218,39 +254,73 @@ def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: floa
     rays_w = jnp.einsum("ldji,ldj->ldi", R, rays_c)
     rays_w = rays_w / jnp.linalg.norm(rays_w, axis=-1, keepdims=True)
 
-    # Midpoint triangulation: sum over the pair of (I - d dᵀ) x = (I - d dᵀ) c.
+    # Midpoint triangulation normal equations: Σ_d (I - r_d r_dᵀ) x = Σ_d (I - r_d r_dᵀ) c_d
+    # over any observation subset.  Invalid slots contribute zero.
     eye = jnp.eye(3)
-    M = eye - rays_w[..., :, None] * rays_w[..., None, :]   # [L, D, 3, 3]
+    M = (eye - rays_w[..., :, None] * rays_w[..., None, :]) * valid[..., None, None]
     Mc = jnp.einsum("ldij,ldj->ldi", M, centers)            # [L, D, 3]
-    A = M[:, :, None] + M[:, None, :]                       # [L, D, D, 3, 3]
-    rhs = Mc[:, :, None] + Mc[:, None, :]                   # [L, D, D, 3]
-    A = A + 1e-6 * eye
-    hyp = jnp.linalg.solve(A, rhs[..., None])[..., 0]       # [L, D, D, 3]
+    n_valid = jnp.sum(valid, -1)                             # [L]
 
-    # Candidate set: all pairs + the current point.
-    hyp = jnp.concatenate(
-        [hyp.reshape(L, D * D, 3), points[:, None, :]], axis=1
-    )                                                        # [L, H, 3]
+    def _tri(A, rhs):
+        return jnp.linalg.solve(A + 1e-6 * eye, rhs[..., None])[..., 0]
+
+    # (a) pairs [L, D*D].
+    hyp_pair = _tri(M[:, :, None] + M[:, None, :], Mc[:, :, None] + Mc[:, None, :])
     pair_ok = (valid[:, :, None] & valid[:, None, :]
                & ~jnp.eye(D, dtype=bool)[None]).reshape(L, D * D)
-    hyp_ok = jnp.concatenate([pair_ok, jnp.ones((L, 1), bool)], axis=1)
+    # (b) leave-one-out [L, D] and (c) full set [L, 1].
+    A_full = jnp.sum(M, 1)                                   # [L, 3, 3]
+    rhs_full = jnp.sum(Mc, 1)                                # [L, 3]
+    hyp_loo = _tri(A_full[:, None] - M, rhs_full[:, None] - Mc)
+    loo_ok = valid & ((n_valid[:, None] - 1) >= 2)
+    hyp_full = _tri(A_full, rhs_full)[:, None]
+    full_ok = (n_valid >= 2)[:, None]
 
-    # Score: reproject every hypothesis into every observing camera.
-    pc = jnp.einsum("ldij,lhj->lhdi", R, hyp) + t[:, None]   # [L, H, D, 3]
-    z = jnp.maximum(pc[..., 2], 1e-6)
-    u = cam.fx * pc[..., 0] / z + cam.cx
-    v = cam.fy * pc[..., 1] / z + cam.cy
-    du = u - obs_uv[:, None, :, 0]
-    dv = v - obs_uv[:, None, :, 1]
-    rn = jnp.sqrt(du * du + dv * dv + 1e-12)                 # [L, H, D]
-    inl = (rn < gate_px) & valid[:, None, :] & (pc[..., 2] > 1e-6)
-    support = jnp.sum(inl, -1) - 1e-3 * jnp.clip(
-        jnp.mean(jnp.where(inl, rn, 0.0), -1), 0.0, 1e3
-    )                                                        # [L, H]
-    support = jnp.where(hyp_ok, support, -1.0)
-    best = jnp.argmax(support, axis=1)                       # [L]
-    new_pts = jnp.take_along_axis(hyp, best[:, None, None], 1)[:, 0]
-    obs_w = jnp.take_along_axis(inl, best[:, None, None], 1)[:, 0]
+    # Candidate set; the CURRENT point goes LAST so the tie bonus below is
+    # the only thing that prefers it.
+    hyp = jnp.concatenate(
+        [hyp_pair.reshape(L, D * D, 3), hyp_loo, hyp_full, points[:, None, :]], axis=1
+    )                                                        # [L, H, 3]
+    hyp_ok = jnp.concatenate(
+        [pair_ok, loo_ok, full_ok, jnp.ones((L, 1), bool)], axis=1
+    )
+    H = hyp.shape[1]
+
+    def _score(h, ok):
+        """Inlier mask + lexicographic score for hypotheses h [L, H', 3]."""
+        pc = jnp.einsum("ldij,lhj->lhdi", R, h) + t[:, None]   # [L, H', D, 3]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = cam.fx * pc[..., 0] / z + cam.cx
+        v = cam.fy * pc[..., 1] / z + cam.cy
+        du = u - obs_uv[:, None, :, 0]
+        dv = v - obs_uv[:, None, :, 1]
+        rn = jnp.sqrt(du * du + dv * dv + 1e-12)               # [L, H', D]
+        inl = (rn < gate_px) & valid[:, None, :] & (pc[..., 2] > 1e-6)
+        n_inl = jnp.sum(inl, -1)
+        mean_in = jnp.sum(jnp.where(inl, rn, 0.0), -1) / jnp.maximum(n_inl, 1)
+        score = n_inl.astype(jnp.float32) - 1e-3 * jnp.clip(mean_in / gate_px, 0.0, 1.0)
+        return inl, n_inl, jnp.where(ok, score, -1.0)
+
+    inl, n_inl, score = _score(hyp, hyp_ok)
+    # Prefer the current point whenever no hypothesis beats its SUPPORT: the
+    # bonus exceeds the tie-break term's full range (1e-3), so equal-support
+    # hypotheses can never displace a point that explains the data as well.
+    score = score.at[:, H - 1].add(2e-3)
+    best = jnp.argmax(score, axis=1)                          # [L]
+    win_pt = jnp.take_along_axis(hyp, best[:, None, None], 1)[:, 0]
+    win_inl = jnp.take_along_axis(inl, best[:, None, None], 1)[:, 0]   # [L, D]
+    win_n = jnp.take_along_axis(n_inl, best[:, None], 1)[:, 0]
+
+    # Consensus refit: triangulate from ALL inlier rays of the winner; keep
+    # the refit iff its support does not drop (a refit through a degenerate
+    # geometry must never replace a better-supported winner).
+    Mw = M * win_inl[..., None, None]
+    refit = _tri(jnp.sum(Mw, 1), jnp.einsum("ldij,ldj->ldi", Mw, centers).sum(1))
+    r_inl, r_n, _ = _score(refit[:, None], jnp.ones((L, 1), bool))
+    r_inl, r_n = r_inl[:, 0], r_n[:, 0]
+    use_refit = r_n >= win_n
+    new_pts = jnp.where(use_refit[:, None], refit, win_pt)
+    obs_w = jnp.where(use_refit[:, None], r_inl, win_inl)
     # A landmark with <2 consensus obs is unconstrained: freeze it (weight 0
     # everywhere keeps its point out of the camera system entirely).
     enough = jnp.sum(obs_w, -1) >= 2
@@ -261,7 +331,19 @@ def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: floa
 
 @functools.partial(jax.jit, static_argnames=("cam", "opts"))
 def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions()) -> BAProblem:
+    with jax.default_matmul_precision("highest"):
+        return _ba_solve_impl(problem, cam, opts)
+
+
+def _ba_solve_impl(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> BAProblem:
     """Levenberg-Marquardt with chi²-style outlier gating rounds.
+
+    All matmuls/einsums trace under ``jax.default_matmul_precision("highest")``:
+    on TPU the default precision runs f32 contractions through bf16 passes,
+    and that noise in the normal equations visibly stalls LM convergence
+    (observed: the same problem converges to 3e-5 px rms on CPU but plateaus
+    at 0.4 px² under default-precision TPU matmuls).  The reduced system is
+    tiny relative to the front-end kernels, so HIGHEST costs nothing here.
 
     Each round runs ``max_iterations`` fixed-trip LM iterations
     (accept/reject on the true Huber objective; rejected steps raise
@@ -275,39 +357,89 @@ def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions()) ->
     """
     obs_cam, obs_uv = problem.obs_cam, problem.obs_uv
 
-    def lm_round(rot, trans, points, obs_w):
+    def lm_round(rot, trans, points, obs_w, ropts):
         def body(_, state):
             rot, trans, points, lam, cost = state
             out = _assemble(
-                rot, trans, points, obs_cam, obs_uv, cam, opts, rot.shape[0], obs_w
+                rot, trans, points, obs_cam, obs_uv, cam, ropts, rot.shape[0], obs_w
             )
-            rot2, trans2, points2, _ = _solve_and_update(rot, trans, points, *out, opts, lam)
-            new_cost = _cost(rot2, trans2, points2, obs_cam, obs_uv, cam, opts, obs_w)
+            rot2, trans2, points2, _ = _solve_and_update(rot, trans, points, *out, ropts, lam)
+            new_cost = _cost(rot2, trans2, points2, obs_cam, obs_uv, cam, ropts, obs_w)
             accept = new_cost < cost
             rot = jnp.where(accept, rot2, rot)
             trans = jnp.where(accept, trans2, trans)
             points = jnp.where(accept, points2, points)
-            lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
+            lam = jnp.where(accept, lam * ropts.damping_down, lam * ropts.damping_up)
             lam = jnp.clip(lam, 1e-9, 1e3)
             cost = jnp.where(accept, new_cost, cost)
             return rot, trans, points, lam, cost
 
-        cost0 = _cost(rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w)
+        cost0 = _cost(rot, trans, points, obs_cam, obs_uv, cam, ropts, obs_w)
         rot, trans, points, _, _ = jax.lax.fori_loop(
-            0, opts.max_iterations, body,
-            (rot, trans, points, jnp.float32(opts.damping), cost0),
+            0, ropts.max_iterations, body,
+            (rot, trans, points, jnp.float32(ropts.damping), cost0),
         )
         return rot, trans, points
 
+    def run_round(rot, trans, points, obs_w, ropts):
+        # Adaptive MAD clip recomputed at each round start from the current
+        # state, folded into the round's (static-within-round) weights so the
+        # accept/reject cost and the normal equations share one objective.
+        if opts.gate_px > 0 and opts.mad_clip > 0:
+            rn, valid = _residual_norms(rot, trans, points, obs_cam, obs_uv, cam, opts)
+            obs_w = obs_w * _mad_gate(rn, valid & (obs_w > 0), opts.mad_clip)
+        return lm_round(rot, trans, points, obs_w, ropts)
+
+    # Round schedule (ORB-SLAM/ceres practice): the Huber kernel protects
+    # ONLY the first round, where moderate outliers may have slipped past the
+    # MAD clip; once `_relandmark` has re-gated observations, the gated
+    # rounds run PLAIN Gauss-Newton — Huber IRLS with a tight delta crawls
+    # (observed on the synthetic outlier problem: cost 406 after 15 Huber
+    # iterations vs 5.6 with GN on the same gated weights).
+    def annealed_gate(rot, trans, points, obs_w):
+        # The consensus gate must stay LOOSER than the cameras' current
+        # mutual consistency error, or it ratchets: a 2.5 px gate applied
+        # while cameras still disagree by ~3 px expels one camera's
+        # observations wholesale, the next GN round converges to a
+        # self-consistent wrong subsystem, and every later re-gating
+        # confirms it (observed: all wrongly-gated obs shared one camera).
+        # max(gate_px, MAD cutoff) anneals to gate_px as the solve converges.
+        rn, valid = _residual_norms(rot, trans, points, obs_cam, obs_uv, cam, opts)
+        mask = valid & (obs_w > 0)
+        med = _masked_median(rn, mask)
+        mad = _masked_median(jnp.abs(rn - med), mask)
+        return jnp.maximum(opts.gate_px, med + opts.mad_clip * 1.4826 * mad)
+
+    import os as _os
+
+    _dbg = bool(_os.environ.get("FD_BA_DEBUG"))
+
+    def _report(tag, rot, trans, points, obs_w):
+        if _dbg:
+            rn, valid = _residual_norms(rot, trans, points, obs_cam, obs_uv, cam, opts)
+            m = valid & (obs_w > 0)
+            jax.debug.print(
+                tag + ": rms={r} max={mx} ngated={n}",
+                r=jnp.sqrt(jnp.sum(jnp.where(m, rn * rn, 0)) / jnp.maximum(jnp.sum(m), 1)),
+                mx=jnp.max(jnp.where(m, rn, 0)),
+                n=jnp.sum(valid & (obs_w == 0)),
+            )
+
+    gn_opts = dataclasses.replace(opts, huber_delta=1e12)
     rot, trans, points = problem.rot, problem.trans, problem.points
     obs_w = jnp.ones(obs_cam.shape, jnp.float32)
-    rot, trans, points = lm_round(rot, trans, points, obs_w)
+    rot, trans, points = run_round(rot, trans, points, obs_w, opts)
+    _report("r0", rot, trans, points, obs_w)
     if opts.gate_px > 0:
-        for _ in range(opts.gate_rounds):
+        for k in range(opts.gate_rounds):
+            gate = annealed_gate(rot, trans, points, obs_w)
+            if _dbg:
+                jax.debug.print("gate{k} = {g}", k=k, g=gate)
             points, obs_w = _relandmark(
-                rot, trans, points, obs_cam, obs_uv, cam, opts.gate_px
+                rot, trans, points, obs_cam, obs_uv, cam, gate
             )
-            rot, trans, points = lm_round(rot, trans, points, obs_w)
+            rot, trans, points = run_round(rot, trans, points, obs_w, gn_opts)
+            _report(f"g{k}", rot, trans, points, obs_w)
     return problem._replace(rot=rot, trans=trans, points=points)
 
 
@@ -330,52 +462,84 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
     def step_sharded(rot, trans, points, obs_cam, obs_uv):
         n_cams = rot.shape[0]
 
-        def cost_fn(rot, trans, points, obs_w):
-            return jax.lax.psum(
-                _cost(rot, trans, points, obs_cam, obs_uv, cam, opts, obs_w), axis
-            )
+        def lm_round(rot, trans, points, obs_w, ropts):
+            def cost_r(rot, trans, points):
+                return jax.lax.psum(
+                    _cost(rot, trans, points, obs_cam, obs_uv, cam, ropts, obs_w), axis
+                )
 
-        def lm_round(rot, trans, points, obs_w):
             def body(_, state):
                 rot, trans, points, lam, cost = state
                 S, b, Hpp_inv, bp, W, valid, cam_idx = _assemble(
-                    rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams, obs_w
+                    rot, trans, points, obs_cam, obs_uv, cam, ropts, n_cams, obs_w
                 )
                 # Reduce the camera system over all landmark shards (ICI psum).
                 S = jax.lax.psum(S, axis)
                 b = jax.lax.psum(b, axis)
                 rot2, trans2, points2, _ = _solve_and_update(
-                    rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam
+                    rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, ropts, lam
                 )
-                new_cost = cost_fn(rot2, trans2, points2, obs_w)
+                new_cost = cost_r(rot2, trans2, points2)
                 accept = new_cost < cost
                 rot = jnp.where(accept, rot2, rot)
                 trans = jnp.where(accept, trans2, trans)
                 points = jnp.where(accept, points2, points)
-                lam = jnp.where(accept, lam * opts.damping_down, lam * opts.damping_up)
+                lam = jnp.where(accept, lam * ropts.damping_down, lam * ropts.damping_up)
                 lam = jnp.clip(lam, 1e-9, 1e3)
                 cost = jnp.where(accept, new_cost, cost)
                 return rot, trans, points, lam, cost
 
             rot, trans, points, _, _ = jax.lax.fori_loop(
-                0, opts.max_iterations, body,
-                (rot, trans, points, jnp.float32(opts.damping),
-                 cost_fn(rot, trans, points, obs_w)),
+                0, ropts.max_iterations, body,
+                (rot, trans, points, jnp.float32(ropts.damping),
+                 cost_r(rot, trans, points)),
             )
             return rot, trans, points
 
-        # Gating rounds (see ba_solve): the consensus re-triangulation is
-        # per-landmark, so it runs on the local landmark shard — no
-        # collective needed, each observation lives with its landmark's
-        # owner device.
+        def run_round(rot, trans, points, obs_w, ropts):
+            # MAD clip over the GLOBAL residual distribution: residual norms
+            # are one scalar per observation, so an all_gather is tiny
+            # relative to the Jacobian work and makes the gate identical to
+            # the single-device solver's.
+            if opts.gate_px > 0 and opts.mad_clip > 0:
+                rn, valid = _residual_norms(
+                    rot, trans, points, obs_cam, obs_uv, cam, opts
+                )
+                mask = valid & (obs_w > 0)
+                rn_all = jax.lax.all_gather(rn, axis, tiled=True)
+                mask_all = jax.lax.all_gather(mask, axis, tiled=True)
+                med = _masked_median(rn_all, mask_all)
+                mad = _masked_median(jnp.abs(rn_all - med), mask_all)
+                cutoff = med + opts.mad_clip * 1.4826 * mad + 1e-3
+                obs_w = obs_w * (rn <= cutoff).astype(jnp.float32)
+            return lm_round(rot, trans, points, obs_w, ropts)
+
+        # Gating rounds + round schedule (see ba_solve): Huber protects only
+        # round 0; gated rounds run plain Gauss-Newton.  The consensus
+        # re-triangulation is per-landmark, so it runs on the local landmark
+        # shard — no collective needed, each observation lives with its
+        # landmark's owner device.
+        def annealed_gate(rot, trans, points, obs_w):
+            # Same annealed consensus gate as ba_solve, over the GLOBAL
+            # residual distribution (all_gather of one scalar per obs).
+            rn, valid = _residual_norms(rot, trans, points, obs_cam, obs_uv, cam, opts)
+            mask = valid & (obs_w > 0)
+            rn_all = jax.lax.all_gather(rn, axis, tiled=True)
+            mask_all = jax.lax.all_gather(mask, axis, tiled=True)
+            med = _masked_median(rn_all, mask_all)
+            mad = _masked_median(jnp.abs(rn_all - med), mask_all)
+            return jnp.maximum(opts.gate_px, med + opts.mad_clip * 1.4826 * mad)
+
+        gn_opts = dataclasses.replace(opts, huber_delta=1e12)
         obs_w = jnp.ones(obs_cam.shape, jnp.float32)
-        rot, trans, points = lm_round(rot, trans, points, obs_w)
+        rot, trans, points = run_round(rot, trans, points, obs_w, opts)
         if opts.gate_px > 0:
             for _ in range(opts.gate_rounds):
+                gate = annealed_gate(rot, trans, points, obs_w)
                 points, obs_w = _relandmark(
-                    rot, trans, points, obs_cam, obs_uv, cam, opts.gate_px
+                    rot, trans, points, obs_cam, obs_uv, cam, gate
                 )
-                rot, trans, points = lm_round(rot, trans, points, obs_w)
+                rot, trans, points = run_round(rot, trans, points, obs_w, gn_opts)
         return rot, trans, points
 
     n_shards = mesh.shape[axis]
@@ -389,9 +553,12 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
         points = jnp.pad(problem.points, ((0, pad), (0, 0)))
         obs_cam = jnp.pad(problem.obs_cam, ((0, pad), (0, 0)), constant_values=-1)
         obs_uv = jnp.pad(problem.obs_uv, ((0, pad), (0, 0), (0, 0)))
-        rot, trans, points = step_sharded(
-            problem.rot, problem.trans, points, obs_cam, obs_uv
-        )
+        # HIGHEST matmul precision for the same reason as ba_solve: TPU's
+        # default bf16-pass f32 contractions stall LM convergence.
+        with jax.default_matmul_precision("highest"):
+            rot, trans, points = step_sharded(
+                problem.rot, problem.trans, points, obs_cam, obs_uv
+            )
         return problem._replace(rot=rot, trans=trans, points=points[:L])
 
     return run

@@ -207,6 +207,103 @@ def refine_relative_pose(
     return jax.lax.fori_loop(0, iterations, step, (rot, trans))
 
 
+def refine_relative_pose_reproj(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    uv_a: jnp.ndarray,
+    uv_b: jnp.ndarray,
+    weight: jnp.ndarray,
+    cam: Pinhole,
+    iterations: int = 15,
+    sigma_px: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Robust two-view bundle: refine (R, t∈S²) + per-point log-depths by
+    Cauchy-weighted REPROJECTION error (view B; view A is exact by the
+    inverse-depth parameterization along the A rays).
+
+    Why not stop at the Sampson polish: on low-parallax pairs the epipolar
+    cost surface is nearly degenerate — measured on the synthetic arc, a
+    pose 12° wrong held every correspondence within a 6 px Sampson gate,
+    and even refinement STARTED AT GROUND TRUTH walked 20° away.  The
+    reprojection objective keeps the depth dimension and has a single
+    sharp minimum there (both the wrong linear init and ground truth
+    converged to 0.5° once the one gross outlier was down-weighted).
+
+    The normal system is [[A (5×5), B], [Bᵀ, D (diagonal per-point)]];
+    depths are Schur-eliminated in closed form, so each LM iteration is
+    O(N·25).  Fixed trip count; jittable; masked by ``weight``.
+    """
+    from .lie import so3_exp
+
+    n = uv_a.shape[0]
+    xa = backproject(uv_a, cam)                     # [N, 3] rays in A (z=1)
+    s2 = sigma_px * sigma_px
+
+    pts, _ = triangulate(jnp.eye(3), jnp.zeros(3), rot, trans, uv_a, uv_b, cam)
+    logz0 = jnp.log(jnp.clip(pts[:, 2], 1e-2, 1e4))
+
+    def residuals(r, t, logz):
+        z = jnp.exp(jnp.clip(logz, -6.0, 10.0))
+        pc = (xa * z[:, None]) @ r.T + t            # points in cam B
+        zz = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / zz + cam.cx
+        v = cam.fy * pc[:, 1] / zz + cam.cy
+        return jnp.stack([u, v], 1) - uv_b          # [N, 2]
+
+    def robust_cost(r, t, logz):
+        res = residuals(r, t, logz)
+        e2 = jnp.sum(res * res, 1)
+        return jnp.sum(weight * s2 * jnp.log1p(e2 / s2))
+
+    def step(state):
+        r, t, logz, lam, cost = state
+        basis = _tangent_basis(t)                   # [3, 2]
+
+        def res_param(dp, dz):
+            r2 = so3_exp(dp[:3]) @ r
+            t2 = t + basis @ dp[3:5]
+            t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-12)
+            return residuals(r2, t2, logz + dz)
+
+        # Jacobians: pose block [N, 2, 5] via jacfwd on the 5-vector, depth
+        # block [N, 2] via jvp along each point's own dz (diagonal).
+        jp = jax.jacfwd(lambda dp: res_param(dp, jnp.zeros(n)))(jnp.zeros(5))
+        jz = jax.jvp(lambda dz: res_param(jnp.zeros(5), dz),
+                     (jnp.zeros(n),), (jnp.ones(n),))[1]  # [N, 2]
+        r0 = res_param(jnp.zeros(5), jnp.zeros(n))
+        e2 = jnp.sum(r0 * r0, 1)
+        w = weight / (1.0 + e2 / s2)                # Cauchy IRLS weights
+
+        # Schur-eliminate the diagonal depth block.
+        A = jnp.einsum("nki,n,nkj->ij", jp, w, jp)          # [5, 5]
+        Bv = jnp.einsum("nki,n,nk->ni", jp, w, jz)          # [N, 5]
+        Dv = jnp.einsum("nk,n,nk->n", jz, w, jz) + lam + 1e-8   # [N]
+        ga = jnp.einsum("nki,n,nk->i", jp, w, r0)           # [5]
+        gz = jnp.einsum("nk,n,nk->n", jz, w, r0)            # [N]
+        S = A + lam * jnp.eye(5) - jnp.einsum("ni,n,nj->ij", Bv, 1.0 / Dv, Bv)
+        rhs = -(ga - jnp.einsum("ni,n,n->i", Bv, 1.0 / Dv, gz))
+        dp = jnp.linalg.solve(S, rhs)
+        dz = -(gz + Bv @ dp) / Dv
+
+        r2 = so3_exp(dp[:3]) @ r
+        t2 = t + basis @ dp[3:5]
+        t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-12)
+        lz2 = logz + dz
+        c2 = robust_cost(r2, t2, lz2)
+        ok = jnp.isfinite(c2) & (c2 < cost)
+        return (
+            jnp.where(ok, r2, r),
+            jnp.where(ok, t2, t),
+            jnp.where(ok, lz2, logz),
+            jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e6),
+            jnp.where(ok, c2, cost),
+        )
+
+    state = (rot, trans, logz0, jnp.float32(1e-3), robust_cost(rot, trans, logz0))
+    state = jax.lax.fori_loop(0, iterations, lambda _, s: step(s), state)
+    return state[0], state[1]
+
+
 @functools.partial(
     jax.jit, static_argnames=("iterations", "ransac_rounds", "cheirality_gate")
 )
@@ -249,28 +346,66 @@ def two_view_init(
         w = jnp.zeros(n).at[sel].set(1.0)
         e = essential_from_matches(uv_a, uv_b, w, cam)
         d2 = _sampson_d2(e, xa, xb)
-        score = jnp.sum(valid & (d2 < tau))
+        # MLESAC truncated-quadratic score, NOT an inlier count: on
+        # low-parallax pairs the epipolar cost is soft enough that a pose
+        # 10°+ wrong can hold every match inside the gate — including a
+        # gross wrong match that happens to lie near an epipolar line —
+        # and a count then PREFERS the wrong pose (26 sloppy inliers beat
+        # 25 tight ones; observed on the synthetic arc, where it sent the
+        # whole trajectory into a wrong basin).  The truncated quadratic
+        # rewards tight consensus and is standard RANSAC practice.
+        score = jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - d2 / tau), 0.0))
         return score, d2
 
     scores, d2_all = jax.lax.map(one_round, keys, batch_size=ransac_rounds)
-    best_round = jnp.argmax(scores)
-    weight = (valid & (d2_all[best_round] < tau)).astype(jnp.float32)
 
-    # --- IRLS polish of the winning consensus set (Cauchy kernel) ---
-    def body(_, weight):
+    # --- refine the TOP-K hypotheses, not just the winner ----------------
+    # Epipolar scoring alone cannot reliably rank basins on low-parallax
+    # pairs (see the MLESAC note above — and even MLESAC mis-ranks when a
+    # wrong match sits near an epipolar line of a wrong pose).  So: carry
+    # the K best consensus sets through the full chain (IRLS essential →
+    # decomposition → Sampson GN → robust REPROJECTION bundle), then pick
+    # by the robust reprojection cost over ALL valid matches — the one
+    # objective measured to separate right from wrong basins sharply
+    # (2.1 vs ~900 on the synthetic arc).
+    K = 8
+    sigma2_px = 4.0  # (2 px)² Cauchy scale of the selection objective
+
+    top = jnp.argsort(-scores)[:K]
+
+    def refine_candidate(round_idx):
+        weight = (valid & (d2_all[round_idx] < tau)).astype(jnp.float32)
+
+        def body(_, weight):
+            e = essential_from_matches(uv_a, uv_b, weight, cam)
+            d2 = _sampson_d2(e, xa, xb)
+            return jnp.where(
+                valid & (d2 < 4.0 * tau), 1.0 / (1.0 + d2 / sigma2), 0.0
+            )
+
+        weight = jax.lax.fori_loop(0, iterations, body, weight)
         e = essential_from_matches(uv_a, uv_b, weight, cam)
-        d2 = _sampson_d2(e, xa, xb)
-        return jnp.where(
-            valid & (d2 < 4.0 * tau), 1.0 / (1.0 + d2 / sigma2), 0.0
+        r_c, t_c = decompose_essential(e, uv_a, uv_b, weight, cam)
+        r_c, t_c = refine_relative_pose(r_c, t_c, uv_a, uv_b, weight, cam)
+        r_c, t_c = refine_relative_pose_reproj(r_c, t_c, uv_a, uv_b, weight, cam)
+        # Common scoring objective: robust (Cauchy) reprojection cost over
+        # every valid match with per-candidate refit depths.
+        pts_c, _ = triangulate(
+            jnp.eye(3), jnp.zeros(3), r_c, t_c, uv_a, uv_b, cam
         )
+        pc = pts_c @ r_c.T + t_c
+        zz = jnp.maximum(pc[:, 2], 1e-6)
+        res = jnp.stack(
+            [cam.fx * pc[:, 0] / zz + cam.cx, cam.fy * pc[:, 1] / zz + cam.cy], 1
+        ) - uv_b
+        e2 = jnp.sum(res * res, 1)
+        score = jnp.sum(jnp.where(valid, sigma2_px * jnp.log1p(e2 / sigma2_px), 0.0))
+        return r_c, t_c, score
 
-    weight = jax.lax.fori_loop(0, iterations, body, weight)
-    e = essential_from_matches(uv_a, uv_b, weight, cam)
-    rot_b, trans_b = decompose_essential(e, uv_a, uv_b, weight, cam)
-    rot_b, trans_b = refine_relative_pose(
-        rot_b, trans_b, uv_a, uv_b, weight, cam
-    )
-    # Re-derive weights/inliers against the refined pose.
+    cand_r, cand_t, cand_cost = jax.lax.map(refine_candidate, top)
+    best = jnp.argmin(cand_cost)
+    rot_b, trans_b = cand_r[best], cand_t[best]
+    # Re-derive weights/inliers against the chosen pose.
     from .lie import hat as _hat
 
     e_ref = _hat(trans_b) @ rot_b

@@ -377,37 +377,54 @@ def _build_tracks(
 
 
 def _pick_init_pair(
-    uv_np, valid_np, words, dvalid, cam, match_opts, match_fn, min_inliers=15
+    tracks, uv_np, cam, n_frames, max_features, min_inliers=15
 ):
-    """Choose the two-view initialization pair (0, j).
+    """Choose the two-view initialization pair (0, j) from the TRACK GRAPH.
 
     Adjacent frames have a tiny baseline-to-depth ratio, for which the
     essential matrix's translation direction is notoriously ill-conditioned
     (the small-baseline rotation/translation ambiguity) — initializing from
     (0, 1) put whole trajectories in a wrong basin that bundle adjustment
     cannot leave.  Standard practice (e.g. ORB-SLAM's parallax check):
-    initialize from the WIDEST pair that still matches reliably.  Returns
-    (j, rot_j, trans_j, idx0_to_j [N] int, inlier mask [N]).
+    initialize from the WIDEST pair that still matches reliably.
+
+    Correspondences come from tracks spanning frames 0 and j, NOT from
+    direct frame-0↔frame-j descriptor matching: transitive chaining through
+    adjacent matches survives appearance change that starves direct
+    wide-baseline matching (measured: direct matching fell back to the
+    40%-baseline pair (0,2) on 3 of 5 synthetic seeds, and every one of
+    those landed the whole trajectory in a wrong basin — ATE 0.05-0.12 vs
+    0.007-0.013 for the seeds that got a wide pair).
+
+    Returns (j, rot_j, trans_j, seed_pairs [(t_id, uv0, uvj)] for the
+    RANSAC inliers).
     """
     from . import geometry
 
-    # Init matching drops the ratio test: wide-pair matching is starved for
-    # candidates and the epipolar RANSAC right below is the real gate.
-    init_mo = dataclasses.replace(match_opts, ratio=1.0)
-    n_frames = len(uv_np)
+    track_frames = [dict(tr) for tr in tracks]
     for j in range(n_frames - 1, 0, -1):
-        m = match_fn(words[0], dvalid[0], words[j], dvalid[j], init_mo)
-        mi = np.where(np.asarray(m.valid), np.asarray(m.index), -1)
-        sel = np.clip(mi, 0, None)
-        pv = jnp.asarray((mi >= 0) & valid_np[0])
-        if int(np.asarray(pv).sum()) < min_inliers:
+        corr = [
+            (t_id, uv_np[0, fr[0]], uv_np[j, fr[j]])
+            for t_id, fr in enumerate(track_frames)
+            if 0 in fr and j in fr
+        ]
+        if len(corr) < min_inliers:
             continue
+        # Fixed-size padding keeps two_view_init at one compiled shape.
+        n = min(len(corr), max_features)
+        uv0 = np.zeros((max_features, 2), np.float32)
+        uvj = np.zeros((max_features, 2), np.float32)
+        pv = np.zeros(max_features, bool)
+        uv0[:n] = np.stack([c[1] for c in corr[:n]])
+        uvj[:n] = np.stack([c[2] for c in corr[:n]])
+        pv[:n] = True
         r, t, _, inl = geometry.two_view_init(
-            jnp.asarray(uv_np[0]), jnp.asarray(uv_np[j][sel]), pv, cam
+            jnp.asarray(uv0), jnp.asarray(uvj), jnp.asarray(pv), cam
         )
         inl = np.asarray(inl)
         if inl.sum() >= min_inliers:
-            return j, np.asarray(r, np.float32), np.asarray(t, np.float32), mi, inl
+            seed_pairs = [corr[i] for i in np.nonzero(inl[:n])[0]]
+            return j, np.asarray(r, np.float32), np.asarray(t, np.float32), seed_pairs
     raise ValueError("two-view initialization failed: no pair with enough inliers")
 
 
@@ -488,7 +505,12 @@ def run_visual_odometry(
     # length — which is what couples inter-frame scale along the camera
     # chain and keeps monocular BA out of the scale-drift flat direction.
     pair_matches: List[Tuple[int, int, np.ndarray]] = []
-    for off in (1, 2):
+    # Offsets 1..4: every extra offset lengthens tracks (a corner that loses
+    # its NMS race in one frame re-appears later), and track length is what
+    # couples inter-frame scale along the monocular chain — the dominant ATE
+    # error mode.  Cap at 4 so long sequences stay O(F)·4 pairs, with each
+    # pair one vmapped MXU matmul.
+    for off in (1, 2, 3, 4):
         if n_frames <= off:
             continue
         m = match_pairs(
@@ -515,8 +537,8 @@ def run_visual_odometry(
     tracks = _build_tracks(pair_matches, n_frames, det_opts.max_features)
 
     # --- two-view initialization on the widest reliable pair (0, j*) ---
-    j_init, r_init, t_init, init_mi, init_inl = _pick_init_pair(
-        uv_np, valid_np, words, dvalid, cam, match_opts, match_hamming
+    j_init, r_init, t_init, init_seed_pairs = _pick_init_pair(
+        tracks, uv_np, cam, n_frames, det_opts.max_features
     )
 
     # --- sequential pose registration + incremental triangulation ---
@@ -625,23 +647,11 @@ def run_visual_odometry(
             if np.isfinite(p_s[k]).all():
                 track_pt[t_id] = p_s[k]
 
-    # Seed the map from the init pair (0, j*): triangulate its direct inlier
-    # matches with poses (I | r_init, t_init) — the widest, best-conditioned
-    # baseline available — and attach each point to the track that holds the
-    # frame-0 feature.
+    # Seed the map from the init pair (0, j*): triangulate its RANSAC-inlier
+    # track correspondences with poses (I | r_init, t_init) — the widest,
+    # best-conditioned baseline available.
     rots[j_init], trans[j_init] = r_init, t_init
-    track_of_f0 = {}
-    for t_id, tr in enumerate(tracks):
-        fr = dict(tr)
-        if 0 in fr:
-            track_of_f0[fr[0]] = t_id
-    seed_pairs = []
-    for i in np.nonzero(init_inl)[0]:
-        j_feat = int(init_mi[i])
-        t_id = track_of_f0.get(int(i))
-        if t_id is not None and j_feat >= 0:
-            seed_pairs.append((t_id, uv_np[0, i], uv_np[j_init, j_feat]))
-    triangulate_frame_pair(0, j_init, seed_pairs)
+    triangulate_frame_pair(0, j_init, init_seed_pairs)
 
     def _pose_prior(f: int) -> Tuple[np.ndarray, np.ndarray]:
         """Motion prior for frame f's PnP.
