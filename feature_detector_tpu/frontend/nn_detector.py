@@ -114,6 +114,66 @@ def select_features_from_heatmap(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "rows", "cols"))
+def directly_select_features(
+    kpts: jnp.ndarray,
+    scores: jnp.ndarray,
+    descs: jnp.ndarray,
+    existing: Features,
+    opts: NNDetectorOptions,
+    rows: int,
+    cols: int,
+) -> Tuple[Features, jnp.ndarray]:
+    """NMS-model path: greedy mask-NMS over the model's own sorted keypoint
+    list (DirectlySelectGoodFeaturesWithDescriptors,
+    nn_feature_point_detector.cpp:203-230 + superpoint.cpp:106-112's ArgSort
+    — ``nms_head`` already emits descending-score order).
+
+    Suppression is Chebyshev distance to every previously accepted feature
+    (equivalent to the reference's DrawRectangleInMask squares for in-bounds
+    candidates), seeded by ``existing`` (incremental Q9) plus the
+    invalid-boundary band.  Existing slots keep zero descriptors — the
+    reference's API likewise returns descriptors only for the features the
+    NMS model emitted.
+
+    Returns (Features [capacity], descriptors [capacity, D]).
+    """
+    capacity = opts.max_number_of_detected_features
+    assert existing.capacity == capacity
+    r = opts.min_feature_distance
+    b = opts.invalid_boundary
+    ddim = descs.shape[-1]
+    k = kpts.shape[0]
+
+    uv0 = existing.uv
+    resp0 = existing.response
+    val0 = existing.valid
+    dout0 = jnp.zeros((capacity, ddim), descs.dtype)
+    cnt0 = existing.count
+
+    def body(i, st):
+        uv, resp, val, dout, cnt = st
+        u = kpts[i, 0].astype(jnp.float32)
+        v = kpts[i, 1].astype(jnp.float32)
+        s = scores[i]
+        inb = (u >= b) & (u < cols - b) & (v >= b) & (v < rows - b)
+        conflict = jnp.any(
+            val & (jnp.abs(uv[:, 0] - u) <= r) & (jnp.abs(uv[:, 1] - v) <= r)
+        )
+        take = (s > 0) & inb & ~conflict & (cnt < capacity)
+        slot = jnp.clip(cnt, 0, capacity - 1)
+        uv = uv.at[slot].set(jnp.where(take, jnp.stack([u, v]), uv[slot]))
+        resp = resp.at[slot].set(jnp.where(take, s, resp[slot]))
+        val = val.at[slot].set(jnp.where(take, True, val[slot]))
+        dout = dout.at[slot].set(jnp.where(take, descs[i], dout[slot]))
+        return uv, resp, val, dout, cnt + take.astype(cnt.dtype)
+
+    uv, resp, val, dout, _ = jax.lax.fori_loop(
+        0, k, body, (uv0, resp0, val0, dout0, cnt0)
+    )
+    return Features(uv=uv, response=resp, valid=val), dout
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "stride"))
 def detect_with_descriptors(
     heatmap: jnp.ndarray,
@@ -175,9 +235,15 @@ class NNFeaturePointDetector:
     def detect(self, image_u8: jnp.ndarray, existing: Optional[Features] = None):
         """DetectGoodFeaturesWithDescriptor (nn_feature_point_detector.h:37-39).
 
-        Returns (Features, descriptors [capacity, D]).  All four model types
-        share the fused in-graph path; the *_NMS variants are behaviorally
-        identical here because NMS is always in-graph (SURVEY.md C8-C10).
+        Returns (Features, descriptors [capacity, D]).
+
+        - *_HEATMAP types: the 2-output path — heatmap candidate threshold +
+          greedy mask-NMS + bilinear descriptor sampling
+          (nn_feature_point_detector.cpp:128-193).
+        - *_NMS types: the 3-output path — the model's fused in-graph top-K
+          head (``models.superpoint.nms_head``) returning (keypoints int32,
+          scores, descriptors), consumed by ArgSort-order greedy mask-NMS
+          (nn_feature_point_detector.cpp:203-230, superpoint.cpp:76-112).
         """
         opts = self.opts
         if existing is None:
@@ -197,4 +263,14 @@ class NNFeaturePointDetector:
                 window_strides=(8, 8, 1),
                 padding="VALID",
             ) / 64.0
+        if opts.model_type in (NNModelType.SUPERPOINT_NMS, NNModelType.DISK_NMS):
+            from ..models.superpoint import nms_head
+
+            kpts, scores, descs = jax.jit(
+                nms_head, static_argnames=("k", "min_response")
+            )(heatmap, desc_map, min_response=opts.min_response)
+            rows, cols = int(image_u8.shape[0]), int(image_u8.shape[1])
+            return directly_select_features(
+                kpts, scores, descs, existing, opts, rows, cols
+            )
         return detect_with_descriptors(heatmap, desc_map, existing, opts)

@@ -81,3 +81,50 @@ def preprocess_gray(image_u8: jnp.ndarray) -> jnp.ndarray:
     OnnxRuntime::ConvertImageToTensor)."""
     x = image_u8.astype(jnp.float32) / 255.0
     return x[None, :, :, None]
+
+
+def nms_head(
+    heatmap: jnp.ndarray,
+    desc_map: jnp.ndarray,
+    k: int = 1024,
+    min_response: float = 0.005,
+    nms_radius: int = 4,
+    stride: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """In-graph NMS + top-K head: the ``*_nms.onnx`` model contract.
+
+    The reference's ``superpoint_nms.onnx`` / ``disk_nms.onnx`` return THREE
+    tensors — int64 keypoints, scores, descriptors — that the C++ consumes
+    with ArgSort + mask-NMS (nn_feature_point_detector_superpoint.cpp:76-112,
+    nn_feature_point_detector.cpp:203-230).  This is the TPU-native fused
+    equivalent appended to the Flax backbone inside one jit:
+
+    1. local-max NMS over a (2·nms_radius+1)² window (reduce_window max);
+    2. response threshold;
+    3. ``lax.top_k`` over the suppressed map — scores descending, row-major
+       tie-break (quirk Q2/Q10 ordering);
+    4. bilinear descriptor sampling at (u/stride, v/stride).
+
+    Args: heatmap [H, W] float32, desc_map [Hc, Wc, D].
+    Returns (keypoints int32 [K, 2] as (u, v), scores [K] — 0 marks padding,
+    descriptors [K, D]).
+    """
+    h, w = heatmap.shape
+    win = 2 * nms_radius + 1
+    local_max = jax.lax.reduce_window(
+        heatmap, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME"
+    )
+    keep = (heatmap >= local_max) & (heatmap > min_response)
+    suppressed = jnp.where(keep, heatmap, 0.0)
+    scores, flat_idx = jax.lax.top_k(suppressed.ravel(), k)
+    vv = (flat_idx // w).astype(jnp.int32)
+    uu = (flat_idx % w).astype(jnp.int32)
+    kpts = jnp.stack([uu, vv], axis=1)
+    valid = scores > 0.0
+    scores = jnp.where(valid, scores, 0.0)
+
+    from ..frontend.nn_detector import sample_descriptor_grid
+
+    desc = sample_descriptor_grid(desc_map, kpts.astype(jnp.float32), stride)
+    desc = desc * valid[:, None].astype(desc.dtype)
+    return kpts, scores, desc

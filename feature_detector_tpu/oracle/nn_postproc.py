@@ -73,3 +73,32 @@ def sample_descriptors(desc_map: np.ndarray, feats, stride: int = 8) -> np.ndarr
             + w[3] * desc_map[ir + 1, ic + 1]
         )
     return out
+
+
+def direct_select(kpts, scores, existing, opts: NNDetectorOptions, rows, cols):
+    """Oracle for the NMS-model path
+    (DirectlySelectGoodFeaturesWithDescriptors,
+    nn_feature_point_detector.cpp:203-230 + ArgSort superpoint.cpp:106-112):
+    iterate candidates by descending score (row-major tie-break), accept if
+    inside the boundary band, outside every accepted feature's suppression
+    square, and under the capacity cap.  Returns the list of selected
+    candidate INDICES (into kpts) appended after ``existing``.
+    """
+    b = opts.invalid_boundary
+    r = opts.min_feature_distance
+    accepted = list(existing)  # [(x, y)]
+    picked = []
+    order = np.argsort(-np.asarray(scores), kind="stable")
+    for i in order:
+        if scores[i] <= 0:
+            continue
+        x, y = float(kpts[i][0]), float(kpts[i][1])
+        if not (b <= x < cols - b and b <= y < rows - b):
+            continue
+        if any(abs(ax - x) <= r and abs(ay - y) <= r for ax, ay in accepted):
+            continue
+        if len(accepted) >= opts.max_number_of_detected_features:
+            break
+        accepted.append((x, y))
+        picked.append(int(i))
+    return picked

@@ -107,3 +107,91 @@ class TestModels:
         if len(uv):
             assert uv[:, 0].min() >= opts.invalid_boundary
             assert uv[:, 1].min() >= opts.invalid_boundary
+
+
+class TestNmsModelPath:
+    """The *_nms 3-output contract: in-graph top-K head + ArgSort-order
+    greedy mask-NMS (nn_feature_point_detector_superpoint.cpp:76-112,
+    nn_feature_point_detector.cpp:203-230)."""
+
+    def test_nms_head_finds_isolated_peaks(self):
+        from feature_detector_tpu.models.superpoint import nms_head
+
+        hm = np.zeros((96, 128), np.float32)
+        peaks = [(20, 24, 0.9), (60, 80, 0.8), (40, 100, 0.7)]
+        for v, u, s in peaks:
+            hm[v, u] = s
+        dm = np.random.default_rng(0).random((12, 16, 32)).astype(np.float32)
+        kpts, scores, descs = nms_head(jnp.asarray(hm), jnp.asarray(dm), k=16)
+        kpts, scores = np.asarray(kpts), np.asarray(scores)
+        # Descending score order, exact locations, padding zeroed.
+        for i, (v, u, s) in enumerate(peaks):
+            assert tuple(kpts[i]) == (u, v)
+            assert scores[i] == np.float32(s)
+        assert (scores[3:] == 0).all()
+        # Descriptors match the shared bilinear sampler.
+        want = oracle.sample_descriptors(dm, [(u, v) for v, u, _ in peaks])
+        np.testing.assert_allclose(np.asarray(descs)[:3], want, atol=1e-5)
+
+    def test_nms_head_local_max_suppression(self):
+        from feature_detector_tpu.models.superpoint import nms_head
+
+        hm = np.zeros((64, 64), np.float32)
+        hm[30, 30] = 0.9
+        hm[31, 32] = 0.8  # inside the (2*4+1)^2 window of the stronger peak
+        hm[30, 50] = 0.7
+        dm = np.zeros((8, 8, 8), np.float32)
+        kpts, scores, _ = nms_head(jnp.asarray(hm), jnp.asarray(dm), k=8)
+        got = {tuple(k) for k, s in zip(np.asarray(kpts), np.asarray(scores)) if s > 0}
+        assert got == {(30, 30), (50, 30)}
+
+    def test_direct_select_matches_oracle(self, rng):
+        opts = NNDetectorOptions(
+            max_number_of_detected_features=32, min_feature_distance=6
+        )
+        rows, cols = 96, 128
+        k = 64
+        kpts = np.stack(
+            [rng.integers(0, cols, k), rng.integers(0, rows, k)], 1
+        ).astype(np.int32)
+        scores = np.sort(rng.random(k).astype(np.float32))[::-1].copy()
+        scores[-10:] = 0.0  # padding tail
+        descs = rng.random((k, 16)).astype(np.float32)
+
+        existing = [(30.0, 40.0)]
+        f = Features.from_numpy(np.array(existing, np.float32), 32)
+        got_f, got_d = F.directly_select_features(
+            jnp.asarray(kpts), jnp.asarray(scores), jnp.asarray(descs),
+            f, opts, rows, cols,
+        )
+        picked = oracle.direct_select(kpts, scores, existing, opts, rows, cols)
+        uv, _ = got_f.to_numpy()
+        want_uv = np.concatenate(
+            [np.array(existing, np.float32), kpts[picked].astype(np.float32)]
+        )
+        np.testing.assert_allclose(uv, want_uv)
+        # Descriptor rows align with the picked candidates (existing = 0).
+        gd = np.asarray(got_d)
+        assert (gd[0] == 0).all()
+        np.testing.assert_allclose(gd[1 : 1 + len(picked)], descs[picked])
+
+    def test_detector_nms_end_to_end_random_weights(self):
+        from feature_detector_tpu.frontend.nn_detector import NNFeaturePointDetector
+
+        opts = NNDetectorOptions(
+            model_type=NNModelType.SUPERPOINT_NMS,
+            max_image_rows=96, max_image_cols=128,
+            max_number_of_detected_features=64,
+            min_response=0.0121,  # random-init softmax hovers near 1/65
+        )
+        det = NNFeaturePointDetector(opts)
+        assert det.initialize()
+        img = (np.random.default_rng(3).random((96, 128)) * 255).astype(np.uint8)
+        feats, desc = det.detect(jnp.asarray(img))
+        n = int(np.asarray(feats.valid).sum())
+        assert n > 0
+        assert desc.shape == (64, 256)
+        uv = np.asarray(feats.uv)[np.asarray(feats.valid)]
+        b = opts.invalid_boundary
+        assert (uv[:, 0] >= b).all() and (uv[:, 0] < 128 - b).all()
+        assert (uv[:, 1] >= b).all() and (uv[:, 1] < 96 - b).all()
