@@ -48,41 +48,57 @@ def superpoint_from_torch(state_dict: Mapping[str, np.ndarray]) -> Dict:
     return {"params": params}
 
 
-def disk_from_torch(
-    down: Mapping[int, Mapping[str, np.ndarray]],
-    up: Mapping[int, Mapping[str, np.ndarray]],
-    head: Mapping[str, np.ndarray],
-) -> Dict:
-    """Map DISK-style U-Net blocks to models.disk.Disk params.
+_DISK_BLOCKS = (
+    "down_0", "down_1", "down_2", "down_3", "down_4",
+    "up_0", "up_1", "up_2", "up_3",
+)
 
-    ``down[i]`` / ``up[i]`` each provide {"weight", "bias", "norm_scale",
-    "norm_bias"}; ``head`` provides the final 1x1 conv.  Because public DISK
-    releases vary in internal naming, callers flatten their checkpoint into
-    this canonical block structure first.
+
+def disk_from_torch(state_dict: Mapping[str, np.ndarray]) -> Dict:
+    """Map a cvlab-epfl/disk thin-U-Net state dict onto models.disk.Disk.
+
+    The published DISK U-Net has exactly nine 5x5 convs (down 16/32/64/64/64,
+    up 64/64/64/129) and eight per-channel PReLU gates (every block except the
+    stem); its InstanceNorms are affine-free and contribute no parameters.
+    Public exports differ only in key *prefixes* (``unet.path_down.0...`` vs
+    wrapped module names), so the mapping is POSITIONAL-BY-SHAPE, robust to
+    renames:
+
+    - 4-D ``*.weight`` tensors, in state-dict order, are the conv kernels of
+      down_0..down_4, up_0..up_3; each pairs with its same-prefix ``*.bias``;
+    - 1-D ``*.weight`` tensors (torch ``nn.PReLU`` stores its alpha as
+      ``weight``), in order, are the gates of down_1..down_4, up_0..up_3.
+
+    Channel counts are validated against the published layout before
+    returning.
     """
-    params = {}
-    for i, blk in down.items():
-        params[f"down_{i}"] = _conv_block(blk)
-    for i, blk in up.items():
-        params[f"up_{i}"] = _conv_block(blk)
-    params["head"] = {
-        "kernel": _kernel(head["weight"]).astype(np.float32),
-        "bias": np.asarray(head["bias"], np.float32),
-    }
+    convs = [(k, np.asarray(v)) for k, v in state_dict.items() if np.asarray(v).ndim == 4]
+    alphas = [np.asarray(v) for k, v in state_dict.items()
+              if np.asarray(v).ndim == 1 and k.endswith("weight")]
+    if len(convs) != len(_DISK_BLOCKS):
+        raise ValueError(f"expected {len(_DISK_BLOCKS)} convs, got {len(convs)}")
+    if len(alphas) != len(_DISK_BLOCKS) - 1:
+        raise ValueError(f"expected {len(_DISK_BLOCKS) - 1} PReLU gates, got {len(alphas)}")
+
+    expected_out = (16, 32, 64, 64, 64, 64, 64, 64, 129)
+    expected_in = (3, 16, 32, 64, 64, 128, 128, 96, 80)
+    params: Dict = {}
+    for i, (name, (key, w)) in enumerate(zip(_DISK_BLOCKS, convs)):
+        if w.shape[0] != expected_out[i] or w.shape[1] != expected_in[i]:
+            raise ValueError(
+                f"{name}: conv {key} has shape {w.shape}, expected "
+                f"[{expected_out[i]}, {expected_in[i]}, 5, 5]"
+            )
+        b = state_dict[key[: -len("weight")] + "bias"]
+        blk = {"conv": {"kernel": _kernel(w).astype(np.float32),
+                        "bias": np.asarray(b, np.float32)}}
+        if i > 0:
+            a = alphas[i - 1]
+            if a.shape[0] != expected_in[i]:
+                raise ValueError(f"{name}: gate has {a.shape[0]} params, expected {expected_in[i]}")
+            blk["gate"] = {"alpha": np.asarray(a, np.float32)}
+        params[name] = blk
     return {"params": params}
-
-
-def _conv_block(blk: Mapping[str, np.ndarray]) -> Dict:
-    return {
-        "Conv_0": {
-            "kernel": _kernel(blk["weight"]).astype(np.float32),
-            "bias": np.asarray(blk["bias"], np.float32),
-        },
-        "GroupNorm_0": {
-            "scale": np.asarray(blk["norm_scale"], np.float32),
-            "bias": np.asarray(blk["norm_bias"], np.float32),
-        },
-    }
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

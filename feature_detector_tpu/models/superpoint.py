@@ -47,7 +47,7 @@ class SuperPoint(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x, return_logits: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = x.astype(self.dtype)
         # Encoder: conv1a/1b -> pool -> conv2a/2b -> pool -> conv3a/3b -> pool
         # -> conv4a/4b (stride-8 feature map).
@@ -60,11 +60,6 @@ class SuperPoint(nn.Module):
         d = VGGBlock(256, self.dtype, name="convPa")(x)
         logits = nn.Conv(65, (1, 1), dtype=self.dtype, name="convPb")(d)
         logits = logits.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
-        b, hc, wc, _ = probs.shape
-        # Pixel-shuffle 8x8 cells back to full resolution.
-        heatmap = probs.reshape(b, hc, wc, 8, 8)
-        heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
 
         # Descriptor head: 256-d at stride 8, L2-normalized.
         e = VGGBlock(256, self.dtype, name="convDa")(x)
@@ -73,6 +68,15 @@ class SuperPoint(nn.Module):
         desc = desc / jnp.maximum(
             jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
         )
+        if return_logits:
+            # Training path: raw 65-way cell logits (models/train_superpoint.py).
+            return logits, desc
+
+        probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
+        b, hc, wc, _ = probs.shape
+        # Pixel-shuffle 8x8 cells back to full resolution.
+        heatmap = probs.reshape(b, hc, wc, 8, 8)
+        heatmap = heatmap.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
         return heatmap, desc
 
 

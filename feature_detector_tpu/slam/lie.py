@@ -34,7 +34,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     axis = w / theta
     k = hat(axis)
     th = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3), k.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
     r = eye + jnp.sin(th) * k + (1.0 - jnp.cos(th)) * (k @ k)
     small = jnp.linalg.norm(w, axis=-1)[..., None, None] < 1e-7
     return jnp.where(small, eye + hat(w), r)

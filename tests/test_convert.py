@@ -73,47 +73,52 @@ class TestSuperPointConversion:
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def synthetic_disk_state(rng):
+    """State dict shaped like the published cvlab-epfl/disk thin U-Net:
+    9 convs (down 16/32/64/64/64, up 64/64/64/129 with skip-concat input
+    channels) and 8 per-channel PReLU gates; affine-free InstanceNorms
+    contribute no entries.  Keys use the unets package's naming."""
+    out_ch = (16, 32, 64, 64, 64, 64, 64, 64, 129)
+    in_ch = (3, 16, 32, 64, 64, 128, 128, 96, 80)
+    sd = {}
+    for i in range(9):
+        path = f"unet.path_down.{i}" if i < 5 else f"unet.path_up.{i - 5}"
+        if i > 0:
+            sd[f"{path}.conv.0.gate.weight"] = np.full(in_ch[i], 0.25, np.float32)
+        sd[f"{path}.conv.1.weight"] = (
+            rng.normal(size=(out_ch[i], in_ch[i], 5, 5)).astype(np.float32) * 0.05
+        )
+        sd[f"{path}.conv.1.bias"] = np.zeros(out_ch[i], np.float32)
+    return sd
+
+
 class TestDiskConversion:
     def test_converted_params_run(self):
         from feature_detector_tpu.models.convert import disk_from_torch
         from feature_detector_tpu.models.disk import Disk
 
         rng = np.random.default_rng(2)
-        downs = (16, 32, 64, 64, 64)
-        ups = (64, 64, 64, 64)
-        in_ch = [3, 16, 32, 64, 64]
-        down = {}
-        for i, (ci, co) in enumerate(zip(in_ch, downs)):
-            down[i] = {
-                "weight": rng.normal(size=(co, ci, 3, 3)).astype(np.float32) * 0.05,
-                "bias": np.zeros(co, np.float32),
-                "norm_scale": np.ones(co, np.float32),
-                "norm_bias": np.zeros(co, np.float32),
-            }
-        # Up-path input channels: upsampled prev + skip.
-        skips = downs[:-1]
-        prev = downs[-1]
-        up = {}
-        for i, co in enumerate(ups):
-            ci = prev + skips[len(skips) - 1 - i]
-            up[i] = {
-                "weight": rng.normal(size=(co, ci, 3, 3)).astype(np.float32) * 0.05,
-                "bias": np.zeros(co, np.float32),
-                "norm_scale": np.ones(co, np.float32),
-                "norm_bias": np.zeros(co, np.float32),
-            }
-            prev = co
-        head = {
-            "weight": rng.normal(size=(129, prev, 1, 1)).astype(np.float32) * 0.05,
-            "bias": np.zeros(129, np.float32),
-        }
-        params = disk_from_torch(down, up, head)
+        params = disk_from_torch(synthetic_disk_state(rng))
 
         m = Disk(dtype=jnp.float32)
         x = jnp.asarray(rng.uniform(size=(1, 32, 48, 3)).astype(np.float32))
         ref = m.init(jax.random.PRNGKey(0), x)
         ref_shapes = jax.tree.map(lambda a: a.shape, ref)
         got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, params)
+        assert jax.tree.structure(ref_shapes) == jax.tree.structure(got_shapes)
         assert jax.tree.all(jax.tree.map(lambda a, b: a == b, ref_shapes, got_shapes))
         heat, desc = m.apply(params, x)
         assert np.isfinite(np.asarray(heat)).all()
+        assert heat.shape == (1, 32, 48)
+        assert desc.shape == (1, 32, 48, 128)
+        assert float(heat.min()) >= 0.0 and float(heat.max()) <= 1.0
+
+    def test_rejects_wrong_layout(self):
+        from feature_detector_tpu.models.convert import disk_from_torch
+
+        rng = np.random.default_rng(3)
+        sd = synthetic_disk_state(rng)
+        sd.pop("unet.path_up.3.conv.1.weight")
+        sd.pop("unet.path_up.3.conv.1.bias")
+        with pytest.raises(ValueError):
+            disk_from_torch(sd)
