@@ -111,11 +111,13 @@ def demo_descriptor(img, img2, out_dir):
 
 
 def demo_lines(img, out_dir):
-    """test_feature_line_detector.cpp flow."""
+    """test_feature_line_detector.cpp flow, incl. the five intermediate-state
+    visualizations the reference demo opens (gradient-norm, validity, angle,
+    region/used-pixels, fitted rectangles — test_feature_line_detector.cpp:15-85)."""
     import jax.numpy as jnp
 
-    from ..frontend.line_detector import detect_good_lines
-    from ..io.images import GREEN, draw_line, save_image, to_rgb
+    from ..frontend.line_detector import detect_good_lines, detect_good_lines_with_state
+    from ..io.images import GREEN, RED, draw_line, save_image, to_rgb
 
     jimg = jnp.asarray(img)
     fn = lambda: detect_good_lines(jimg, 100)
@@ -127,6 +129,41 @@ def demo_lines(img, out_dir):
     for x1, y1, x2, y2 in segs:
         draw_line(rgb, x1, y1, x2, y2, GREEN)
     save_image(os.path.join(out_dir, "lsd_lines.png"), rgb)
+
+    # Intermediate maps (FeatureLineDetector::pixels()/rectangles() analogue).
+    state = detect_good_lines_with_state(jimg)
+    norm = np.asarray(state.norm)
+    save_image(os.path.join(out_dir, "lsd_norm.png"),
+               (255.0 * norm / max(norm.max(), 1e-6)).astype(np.uint8))
+    save_image(os.path.join(out_dir, "lsd_validity.png"),
+               (np.asarray(state.valid) * 255).astype(np.uint8))
+    angle = np.asarray(state.angle)
+    save_image(os.path.join(out_dir, "lsd_angle.png"),
+               ((angle + np.pi) * (255.0 / (2 * np.pi))).astype(np.uint8))
+    labels = np.asarray(state.labels)
+    # Region map: hash labels into gray levels, invalid black.
+    lab_vis = np.where(
+        labels >= 0, (labels.astype(np.int64) * 2654435761) % 200 + 55, 0
+    ).astype(np.uint8)
+    save_image(os.path.join(out_dir, "lsd_regions.png"), lab_vis)
+    rects = {k: np.asarray(v) for k, v in state.rectangles().items()}
+    rect_rgb = to_rgb(img)
+    for i in np.nonzero(rects["valid"])[0]:
+        cx, cy = rects["center"][i]
+        a, l, w = rects["angle"][i], rects["length"][i], rects["width"][i]
+        du, dv = np.cos(a), np.sin(a)
+        nu, nv = -dv, du
+        corners = [
+            (cx - 0.5 * l * du - 0.5 * w * nu, cy - 0.5 * l * dv - 0.5 * w * nv),
+            (cx + 0.5 * l * du - 0.5 * w * nu, cy + 0.5 * l * dv - 0.5 * w * nv),
+            (cx + 0.5 * l * du + 0.5 * w * nu, cy + 0.5 * l * dv + 0.5 * w * nv),
+            (cx - 0.5 * l * du + 0.5 * w * nu, cy - 0.5 * l * dv + 0.5 * w * nv),
+        ]
+        for j in range(4):
+            x1, y1 = corners[j]
+            x2, y2 = corners[(j + 1) % 4]
+            draw_line(rect_rgb, x1, y1, x2, y2, RED)
+    save_image(os.path.join(out_dir, "lsd_rectangles.png"), rect_rgb)
 
 
 def demo_nn(img2, out_dir):

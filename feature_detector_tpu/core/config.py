@@ -133,9 +133,10 @@ class LineDetectorOptions:
     max_tolerance_inlier_ratio: float = 0.6
     # Fixed-shape controls.
     max_lines: int = 128
-    # Iteration cap for the label-propagation region growing; covers lines up
-    # to ~2**propagation_steps pixels long on the examples.
-    propagation_steps: int = 64
+    # Sweep cap for the seeded mean-angle region growing; 128 converges on
+    # both 752x480 example images (longest contours ~300 px coalesce through
+    # gated whole-component absorption, kernels/lsd.py).
+    propagation_steps: int = 128
 
 
 class NNModelType(enum.Enum):

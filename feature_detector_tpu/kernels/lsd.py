@@ -83,10 +83,104 @@ def _angle_diff(a, b):
     return d
 
 
+def propagate_labels_meanangle(
+    norm: jnp.ndarray, angle: jnp.ndarray, valid: jnp.ndarray, opts: LineDetectorOptions
+) -> jnp.ndarray:
+    """Seeded region growing with RUNNING-MEAN angle acceptance.
+
+    The reference grows regions by BFS from gradient-sorted seeds, admitting a
+    pixel iff its level-line angle is within tol of the region's running
+    circular-mean angle (feature_line_detector.cpp:27-46, 128-135).  A
+    pairwise |angle_i - angle_j| <= tol CC is NOT equivalent: members at
+    mean±tol pass the reference's gate but fail the 2·tol pairwise edge
+    (observed: straight 29-px bars split 21+8), and long drift chains merge
+    regions the running mean would reject.
+
+    Parallel formulation with the same semantics:
+    - every valid pixel starts as its own seed (label = flat index);
+    - each sweep recomputes every component's circular-mean angle
+      (`segment_sum`) and lets each pixel adopt the 8-neighborhood component
+      whose mean accepts the pixel's angle, preferring the component with the
+      STRONGEST seed (the pixel whose flat index is the label) — mirroring
+      the reference's descending-gradient-norm seed priority;
+    - components therefore coalesce around local gradient maxima exactly like
+      the sequential grower's first-come-by-strength ordering.
+
+    Returns int32 labels (seed flat index; -1 where invalid), converged when
+    no label changes, capped at opts.propagation_steps sweeps.
+    """
+    g_rows, g_cols = angle.shape
+    n_seg = g_rows * g_cols
+    tol = opts.min_tolerance_angle_residual_in_rad
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 0) * g_cols
+        + jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 1)
+    )
+    big = jnp.int32(n_seg + 1)
+    init = jnp.where(valid, flat, big)
+    flat_norm = norm.reshape(-1)
+    cos_a = jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1)
+    sin_a = jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1)
+
+    def seed_priority(labels):
+        """Gradient norm of each pixel's component seed; -inf where invalid."""
+        pri = jnp.take(flat_norm, jnp.clip(labels, 0, n_seg - 1).reshape(-1)).reshape(labels.shape)
+        return jnp.where(labels < big, pri, -1.0)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < opts.propagation_steps)
+
+    def body(state):
+        labels, _, it = state
+        ids = jnp.clip(labels, 0, n_seg).reshape(-1)
+        mean = jnp.arctan2(
+            jax.ops.segment_sum(sin_a, ids, num_segments=n_seg + 1),
+            jax.ops.segment_sum(cos_a, ids, num_segments=n_seg + 1),
+        )
+        best_label = labels
+        best_pri = seed_priority(labels)
+        for dr, dc in _SHIFTS:
+            n_label = _shift(labels, dr, dc, big)
+            n_mean = jnp.take(mean, jnp.clip(n_label, 0, n_seg).reshape(-1)).reshape(labels.shape)
+            gate = (
+                valid
+                & (n_label < big)
+                & (jnp.abs(_angle_diff(angle, n_mean)) <= tol)
+            )
+            n_pri = jnp.where(gate, seed_priority(n_label), -jnp.inf)
+            # Lexicographic (norm desc, seed index asc) priority: constant-
+            # brightness bars give every edge pixel an identical norm, and a
+            # strict > alone would never coalesce them (observed: all regions
+            # stayed singletons).  Deterministic index tie-break, quirk-Q2
+            # style.
+            better = (n_pri > best_pri) | (gate & (n_pri == best_pri) & (n_label < best_label))
+            best_label = jnp.where(better, n_label, best_label)
+            best_pri = jnp.where(better, n_pri, best_pri)
+        # Whole-component absorption (pointer jumping): when a component's
+        # SEED pixel itself adopts a stronger neighbor, every member follows
+        # next sweep — the reference's strongest-seed-takes-the-whole-line
+        # behavior (its first-processed seed BFS-claims the entire contour,
+        # feature_line_detector.cpp:27-46) without O(line length) sweeps.
+        jumped = jnp.take(
+            best_label.reshape(-1), jnp.clip(best_label, 0, n_seg - 1).reshape(-1)
+        ).reshape(best_label.shape)
+        # ... but only members the TARGET component's mean angle accepts may
+        # follow (un-gated absorption over-merges: a seed on a contour corner
+        # drags its whole differently-angled region along).
+        j_mean = jnp.take(mean, jnp.clip(jumped, 0, n_seg).reshape(-1)).reshape(jumped.shape)
+        ok_jump = jnp.abs(_angle_diff(angle, j_mean)) <= tol
+        best_label = jnp.where((best_label < big) & ok_jump, jumped, best_label)
+        return best_label, jnp.any(best_label != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), jnp.int32(0)))
+    return jnp.where(valid, labels, -1)
+
+
 def propagate_labels(
     angle: jnp.ndarray, valid: jnp.ndarray, opts: LineDetectorOptions
 ) -> jnp.ndarray:
-    """Angle-gated 8-neighbor connected components.
+    """Angle-gated 8-neighbor connected components (pairwise gate).
 
     Returns int32 labels (min member flat index per component; -1 where
     invalid).  Converges when no label changes, capped at
@@ -135,8 +229,7 @@ def propagate_labels(
     return jnp.where(valid, labels, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "image_shape"))
-def detect_lines_from_maps(
+def _lines_impl(
     norm: jnp.ndarray,
     angle: jnp.ndarray,
     valid: jnp.ndarray,
@@ -145,33 +238,15 @@ def detect_lines_from_maps(
 ):
     """Components -> rectangles -> filtered line segments (fixed capacity).
 
-    Returns (endpoints[max_lines, 4], line_valid[max_lines]) sorted by
-    descending region weight.
+    Returns (endpoints[max_lines, 4], line_valid[max_lines], labels grid,
+    rectangles dict) sorted by descending region weight.
     """
     rows, cols = image_shape
     g_rows, g_cols = norm.shape
     n_seg = g_rows * g_cols
-    labels = propagate_labels(angle, valid, opts)
-
-    # Refinement: pairwise-gated components can drift along curved contours
-    # beyond the reference's running-mean-angle gate
-    # (feature_line_detector.cpp:128-131).  Re-gate every member against its
-    # component's circular-mean angle and re-run CC on the survivors — this
-    # splits drift-merged chains, approximating the reference's acceptance.
-    flat_ids0 = jnp.where(labels >= 0, labels, n_seg).reshape(-1)
-    cos_sum = jax.ops.segment_sum(
-        jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1), flat_ids0, num_segments=n_seg + 1
-    )
-    sin_sum = jax.ops.segment_sum(
-        jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1), flat_ids0, num_segments=n_seg + 1
-    )
-    mean_angle = jnp.arctan2(sin_sum, cos_sum)[:-1]
-    my_mean = jnp.take(mean_angle, jnp.clip(flat_ids0, 0, n_seg - 1)).reshape(angle.shape)
-    keep = valid & (
-        jnp.abs(_angle_diff(my_mean, angle)) <= opts.min_tolerance_angle_residual_in_rad
-    )
-    valid = keep
-    labels = propagate_labels(angle, valid, opts)
+    # Running-mean-gated seeded growing (the reference's acceptance rule);
+    # no re-gate pass is needed — the mean-angle gate is inherent.
+    labels = propagate_labels_meanangle(norm, angle, valid, opts)
 
     seg_ids = jnp.where(labels >= 0, labels, n_seg).reshape(-1)
     w = jnp.where(valid, norm, 0.0).reshape(-1)
@@ -264,4 +339,44 @@ def detect_lines_from_maps(
         axis=-1,
     )
     endpoints = jnp.where(line_valid[:, None], endpoints, 0.0)
+
+    # Introspection analogue of FeatureLineDetector::rectangles()
+    # (feature_line_detector.h:54-63, RectangleParam at .h:27-38): per
+    # selected line, the fitted rectangle's center/angle/length/width/
+    # inlier-ratio plus its region label and pixel count.
+    rectangles = {
+        "center": jnp.stack([jnp.take(cx, top_idx), jnp.take(cy, top_idx)], -1),
+        "angle": jnp.take(rect_angle, top_idx),
+        "length": jnp.take(length, top_idx),
+        "width": jnp.take(width, top_idx),
+        "inlier_ratio": jnp.take(inlier_ratio, top_idx),
+        "pixel_count": jnp.take(cnt, top_idx),
+        "label": top_idx.astype(jnp.int32),
+        "valid": line_valid,
+    }
+    return endpoints, line_valid, labels, rectangles
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "image_shape"))
+def detect_lines_from_maps(
+    norm: jnp.ndarray,
+    angle: jnp.ndarray,
+    valid: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    opts: LineDetectorOptions,
+):
+    """(endpoints[max_lines, 4], line_valid[max_lines]) — the detection path."""
+    endpoints, line_valid, _, _ = _lines_impl(norm, angle, valid, image_shape, opts)
     return endpoints, line_valid
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "image_shape"))
+def detect_lines_with_state(
+    norm: jnp.ndarray,
+    angle: jnp.ndarray,
+    valid: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    opts: LineDetectorOptions,
+):
+    """Full-introspection path: (endpoints, line_valid, labels, rectangles)."""
+    return _lines_impl(norm, angle, valid, image_shape, opts)

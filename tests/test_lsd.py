@@ -61,18 +61,71 @@ class TestLineDetection:
         assert 0.5 * len(want) <= len(segs) <= 2.0 * len(want) + 1
 
     def test_real_image_tolerance(self, image):
+        # Seeded mean-angle growing (kernels/lsd.py propagate_labels_meanangle)
+        # reproduces the reference's running-mean acceptance; measured recall
+        # 0.95 @ 4 px on image.png (38/40 oracle lines).
         opts = LineDetectorOptions()
         want = oracle.detect_lines(image, opts)
         got = detect_good_lines(jnp.asarray(image), 100, opts)
         segs = got.to_numpy()
         assert len(want) > 0
-        matched = 0
-        for wline in want:
-            if segs.size and min(endpoint_set_distance(wline, g) for g in segs) < 8.0:
-                matched += 1
+        matched = sum(
+            1 for wline in want
+            if segs.size and min(endpoint_set_distance(wline, g) for g in segs) < 4.0
+        )
         recall = matched / len(want)
-        assert recall >= 0.6, f"recall {recall:.2f} ({matched}/{len(want)}, got {len(segs)})"
+        assert recall >= 0.9, f"recall {recall:.2f} ({matched}/{len(want)}, got {len(segs)})"
+        # Count parity within ±30%.
+        assert 0.7 * len(want) <= len(segs) <= 1.3 * len(want), (len(want), len(segs))
+
+    def test_second_image_tolerance(self, image2):
+        # image2 (640x480, denser scene): 0.85 @ 4 px measured — the residual
+        # gap is seed-order-dependent region identity on parallel multi-line
+        # clusters (SURVEY.md H2), asserted at >= 0.8.
+        opts = LineDetectorOptions(max_lines=256)
+        want = oracle.detect_lines(image2, opts)
+        got = detect_good_lines(jnp.asarray(image2), 100, opts)
+        segs = got.to_numpy()
+        assert len(want) > 50
+        matched = sum(
+            1 for wline in want
+            if segs.size and min(endpoint_set_distance(wline, g) for g in segs) < 4.0
+        )
+        recall = matched / len(want)
+        assert recall >= 0.8, f"recall {recall:.2f} ({matched}/{len(want)}, got {len(segs)})"
 
     def test_zero_budget_returns_empty(self, small_image):
         got = detect_good_lines(jnp.asarray(small_image), 0)
         assert int(got.count) == 0
+
+
+class TestIntrospection:
+    def test_state_maps_and_rectangles(self):
+        from feature_detector_tpu.frontend.line_detector import detect_good_lines_with_state
+
+        img = synthetic_lines_image()
+        opts = LineDetectorOptions()
+        state = detect_good_lines_with_state(jnp.asarray(img), opts)
+        norm, angle, valid = state.pixels()
+        assert norm.shape == (img.shape[0] - 1, img.shape[1] - 1)
+        assert angle.shape == norm.shape and valid.shape == norm.shape
+
+        sp = state.sorted_pixels()
+        assert len(sp) == int(np.asarray(valid).sum())
+        norms = np.asarray(norm)[sp[:, 0], sp[:, 1]]
+        assert (np.diff(norms) <= 1e-6).all()  # descending seed order
+
+        rects = state.rectangles()
+        nv = np.asarray(state.lines.valid)
+        assert np.array_equal(np.asarray(rects["valid"]), nv)
+        # Valid rectangles respect the acceptance filters
+        # (feature_line_detector.cpp:40, .h:40-45).
+        ln = np.asarray(rects["length"])[nv]
+        ir = np.asarray(rects["inlier_ratio"])[nv]
+        assert (ln >= opts.min_valid_line_length_in_pixel).all()
+        assert (ir >= opts.max_tolerance_inlier_ratio).all()
+        # Region labels of selected lines exist in the label map.
+        labs = np.asarray(rects["label"])[nv]
+        label_map = np.asarray(state.labels)
+        for l in labs:
+            assert (label_map == l).sum() > 0
