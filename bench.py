@@ -1,4 +1,5 @@
-"""Headline benchmark: detect + describe + match frames/s per chip.
+"""Headline benchmark: detect + describe + match frames/s per chip, plus the
+full BASELINE.md metric table.
 
 Pipeline under test (BASELINE.json metric: "keypoints/s/chip
 (detect+describe+match)"): FAST corner detection (greedy mask-NMS, 200
@@ -6,13 +7,18 @@ features) + steered BRIEF (256 bit) + cross-checked Hamming matching on
 752x480 frame pairs, batched across frames on one chip.
 
 Baseline (BASELINE.md protocol): the same reference-semantics pipeline run
-single-threaded on this machine's CPU (the NumPy oracle, which encodes the
-reference's exact algorithms), measured here at bench time.
+single-threaded on this machine's CPU (the native C++ engine at -O3, same
+algorithms as the reference; NumPy-oracle fallback), measured at bench time.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-"""
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "table"}.
+The table mirrors the reference demos' measurement points
+(test_feature_point_detector.cpp:35-41, test_feature_line_detector.cpp:103-106,
+test_nn_feature_point_detector.cpp:47,66) plus keypoints/s/chip, per-stage
+breakdown, and the 1-vs-N-device scaling run (bench_scaling.py subprocess on
+the forced CPU mesh)."""
 
 import json
+import os
 import sys
 import time
 
@@ -131,6 +137,87 @@ def main():
     frames = 2 * batch * iters
     fps_chip = frames / dt / len(jax.devices())
 
+    # Per-stage steady-state breakdown (ms per frame at batch=8).
+    def stage_ms(fn, *args, iters=20):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters / batch * 1e3
+
+    stage = {
+        "detect_ms_per_frame": round(stage_ms(det, ja), 4),
+        "describe_ms_per_frame": round(stage_ms(br, ja, fa), 4),
+        "match_ms_per_frame": round(stage_ms(mt, wa, va, wa, va), 4),
+    }
+    n_kp = float(np.asarray(fa.valid).sum(-1).mean())
+    kps_chip = fps_chip * n_kp
+
+    # Per-detector / LSD / NN latency rows (single frame, steady state) —
+    # the reference demos' TickTock measurement points.
+    table = dict(stage)
+    table["keypoints_per_s_per_chip"] = round(kps_chip, 1)
+    table["mean_keypoints_per_frame"] = round(n_kp, 1)
+    for kind, resp in (("harris", 30.0), ("shi_tomasi", 40.0)):
+        o = DetectorOptions(min_feature_distance=20, min_valid_response=resp, max_features=256)
+        f1 = jax.jit(
+            lambda im, o=o, kind=kind: detect_good_features(
+                im, Features.empty(o.max_features), kind, 200, o
+            )
+        )
+        im0 = jnp.asarray(img_a)
+        jax.block_until_ready(f1(im0))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r = f1(im0)
+        jax.block_until_ready(r)
+        table[f"{kind}_detect_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
+
+    from feature_detector_tpu.frontend.line_detector import detect_good_lines
+
+    jax.block_until_ready(detect_good_lines(jnp.asarray(img_a), 100).endpoints)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = detect_good_lines(jnp.asarray(img_a), 100)
+    jax.block_until_ready(r.endpoints)
+    table["lsd_detect_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 3)
+
+    try:
+        from feature_detector_tpu.core.config import NNDetectorOptions, NNModelType
+        from feature_detector_tpu.frontend.nn_detector import NNFeaturePointDetector
+
+        nn_img = load_gray("/root/reference/examples/image2.png")  # 640x480
+        nn = NNFeaturePointDetector(
+            NNDetectorOptions(model_type=NNModelType.SUPERPOINT_HEATMAP,
+                              max_image_rows=480, max_image_cols=640)
+        )
+        nn.initialize()
+        feats, desc = nn.detect(jnp.asarray(nn_img))
+        jax.block_until_ready(feats.uv)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            feats, desc = nn.detect(jnp.asarray(nn_img))
+        jax.block_until_ready(feats.uv)
+        table["superpoint_e2e_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 3)
+        table["superpoint_n_features"] = int(np.asarray(feats.valid).sum())
+    except Exception as e:  # pragma: no cover — NN row is best-effort
+        table["superpoint_error"] = str(e)[:200]
+
+    # Scaling run (separate process: needs a fresh CPU backend with forced
+    # device count; never touches the TPU).
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_scaling.py")],
+            capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        table["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover
+        table["scaling_error"] = str(e)[:200]
+
     cpu_pair_s = cpu_baseline_seconds(img_a, img_b)
     fps_cpu = 2.0 / cpu_pair_s
 
@@ -141,6 +228,7 @@ def main():
                 "value": round(fps_chip, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps_chip / fps_cpu, 2),
+                "table": table,
             }
         )
     )
