@@ -25,6 +25,25 @@ def compute_descriptors(
     return Descriptors(words=words, valid=valid)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def compute_descriptors_float(
+    image: jnp.ndarray, features: Features, opts: BriefOptions = BriefOptions()
+) -> jnp.ndarray:
+    """Dense float overload (descriptor.h:43-62): bool bits map to ±1.0.
+
+    Returns [capacity, kLength] float32; border-failed features keep all-zero
+    rows — the reference's silent-zero behavior (quirk Q5: the bool path's
+    failed rows are zero, and setZero precedes the bit writes).
+    """
+    words, valid = brief_compute(image, features.uv, features.valid, opts)
+    n, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    pm1 = bits.reshape(n, 32 * w).astype(jnp.float32) * 2.0 - 1.0
+    pm1 = pm1[:, : opts.length]
+    return jnp.where(valid[:, None], pm1, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("brief_opts", "matcher_opts"))
 def describe_and_match(
     image_a: jnp.ndarray,

@@ -74,3 +74,36 @@ def test_l2_threshold(rng):
         jnp.asarray(a), jnp.ones(8, bool), jnp.asarray(b), jnp.ones(8, bool), opts
     )
     assert not np.asarray(m.valid).any()
+
+
+class TestFloatDescriptorOverload:
+    def test_pm1_matches_packed_bits(self, small_image):
+        """C5 float-Vec overload (descriptor.h:43-62): bits -> ±1.0, invalid
+        rows all-zero (quirk Q5)."""
+        import jax.numpy as jnp
+
+        from feature_detector_tpu.core.config import BriefOptions, DetectorOptions
+        from feature_detector_tpu.core.types import Features
+        from feature_detector_tpu.frontend.descriptor import (
+            compute_descriptors,
+            compute_descriptors_float,
+        )
+        from feature_detector_tpu.frontend.detector import detect_good_features
+
+        opts = DetectorOptions(min_feature_distance=8, min_valid_response=20.0, max_features=64)
+        feats = detect_good_features(
+            jnp.asarray(small_image), Features.empty(64), "harris", 30, opts
+        )
+        bopts = BriefOptions(length=128)
+        packed = compute_descriptors(jnp.asarray(small_image), feats, bopts)
+        dense = np.asarray(compute_descriptors_float(jnp.asarray(small_image), feats, bopts))
+        assert dense.shape == (64, 128)
+
+        words = np.asarray(packed.words)
+        valid = np.asarray(packed.valid)
+        assert valid.sum() > 5
+        bits = ((words[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1).reshape(64, -1)[:, :128]
+        want = np.where(valid[:, None], bits * 2.0 - 1.0, 0.0)
+        np.testing.assert_array_equal(dense, want.astype(np.float32))
+        # Invalid rows are exactly zero.
+        assert (dense[~valid] == 0).all()
