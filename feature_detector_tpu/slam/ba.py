@@ -147,14 +147,23 @@ def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams, obs_w=None
     return S.reshape(6 * n_cams, 6 * n_cams), b.reshape(-1), Hpp_inv, bp, W, valid, cam_idx
 
 
-def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam):
+def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, opts, lam,
+                      n_fixed=None):
     n_cams = rot.shape[0]
-    # Gauge fix: freeze the first num_fixed_cameras by replacing their blocks
-    # with identity (keeps the system well-scaled in f32).
-    k = 6 * max(1, min(opts.num_fixed_cameras, n_cams))
-    S = S.at[:k, :].set(0.0).at[:, :k].set(0.0)
-    S = S.at[jnp.arange(k), jnp.arange(k)].set(1.0)
-    b = b.at[:k].set(0.0)
+    # Gauge fix: freeze the first n_fixed cameras by replacing their blocks
+    # with identity (keeps the system well-scaled in f32).  ``n_fixed`` may be
+    # a TRACED int32 (sliding-window BA freezes all-but-the-window, a count
+    # that changes every frame — masks instead of static slices keep one
+    # compilation per padded shape).
+    if n_fixed is None:
+        n_fixed = jnp.int32(max(1, min(opts.num_fixed_cameras, n_cams)))
+    k = 6 * jnp.clip(n_fixed, 1, n_cams).astype(jnp.int32)
+    idx6 = jnp.arange(6 * n_cams, dtype=jnp.int32)
+    fixed = idx6 < k
+    S = jnp.where(fixed[:, None] | fixed[None, :], 0.0, S)
+    diag_fix = jnp.where(fixed, 1.0, jnp.diagonal(S))
+    S = S.at[idx6, idx6].set(diag_fix)
+    b = jnp.where(fixed, 0.0, b)
     # Levenberg-Marquardt diagonal-relative damping + absolute jitter.
     diag = jnp.diagonal(S)
     S = S + jnp.diag(lam * diag + 1e-6)
@@ -353,21 +362,29 @@ def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: floa
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "opts"))
-def _ba_solve_jit(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> BAProblem:
+def _ba_solve_jit(problem: BAProblem, cam: Pinhole, opts: BAOptions,
+                  num_fixed=None) -> BAProblem:
     with jax.default_matmul_precision("highest"):
-        return _ba_solve_impl(problem, cam, opts)
+        return _ba_solve_impl(problem, cam, opts, num_fixed)
 
 
-def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions()) -> BAProblem:
+def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions(),
+             num_fixed=None) -> BAProblem:
+    """``num_fixed`` (optional, may be traced int32) overrides
+    opts.num_fixed_cameras — sliding-window BA freezes all-but-the-window
+    without a recompile per distinct count."""
     # Scoped x64 so the _d() promotions above are real f64 at trace time;
     # all inputs/outputs stay f32 (array dtypes are preserved under the
     # context — only explicitly-requested f64 and default constructors widen,
     # and every constructor in this module pins its dtype).
     with jax.enable_x64():
-        return _ba_solve_jit(problem, cam, opts)
+        if num_fixed is not None:
+            num_fixed = jnp.asarray(num_fixed, jnp.int32)
+        return _ba_solve_jit(problem, cam, opts, num_fixed)
 
 
-def _ba_solve_impl(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> BAProblem:
+def _ba_solve_impl(problem: BAProblem, cam: Pinhole, opts: BAOptions,
+                   num_fixed=None) -> BAProblem:
     """Levenberg-Marquardt with chi²-style outlier gating rounds.
 
     All matmuls/einsums trace under ``jax.default_matmul_precision("highest")``:
@@ -395,7 +412,9 @@ def _ba_solve_impl(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> BAProbl
             out = _assemble(
                 rot, trans, points, obs_cam, obs_uv, cam, ropts, rot.shape[0], obs_w
             )
-            rot2, trans2, points2, _ = _solve_and_update(rot, trans, points, *out, ropts, lam)
+            rot2, trans2, points2, _ = _solve_and_update(
+                rot, trans, points, *out, ropts, lam, num_fixed
+            )
             new_cost = _cost(rot2, trans2, points2, obs_cam, obs_uv, cam, ropts, obs_w)
             accept = new_cost < cost
             rot = jnp.where(accept, rot2, rot)

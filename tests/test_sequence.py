@@ -150,6 +150,86 @@ class TestVOPipeline:
         )
         assert ate < 0.05, f"ATE {ate}"
 
+    def test_incremental_frontend_carries_tracks(self, seq):
+        """Q9 front-end (run_incremental_frontend): response-peak carrying +
+        existing-seeded top-up detection.  Carried links must be plentiful and
+        photometrically verified; VO accepts the incremental front-end as an
+        option (feature_point_detector.cpp:12-16 incremental contract)."""
+        from feature_detector_tpu.core.config import BriefOptions, DetectorOptions
+        from feature_detector_tpu.slam.sequence import run_incremental_frontend
+
+        det_opts = DetectorOptions(
+            min_feature_distance=10, min_valid_response=20.0,
+            max_features=256, subpixel=True,
+        )
+        feats, words, dvalid, links = run_incremental_frontend(
+            jnp.asarray(seq.images), "harris", 200, det_opts, BriefOptions()
+        )
+        valid = np.asarray(feats.valid)
+        assert len(links) == len(seq.images) - 1
+        for fa, fb, m in links:
+            carried = int((m >= 0).sum())
+            assert carried >= 15, (fa, carried)
+            # Links point at valid feature slots of frame fb.
+            assert valid[fb][m[m >= 0]].all()
+        # The full VO accepts the incremental front-end.
+        res = run_visual_odometry(seq.images, seq.cam, incremental=True)
+        assert np.isfinite(res.trajectory.positions).all()
+
+    def test_long_sequence_vo(self):
+        """16-frame sequential VO (windowed anchored BA + PnP motion gate)
+        under a tight ATE bound — the long-sequence regression.  Measured
+        0.018 at this configuration (bound 3x); longer sequences go through
+        run_visual_odometry_chunked (separate test) as monocular drift
+        accumulates without loop closure."""
+        seq = make_synthetic_sequence(
+            n_frames=16, n_landmarks=250, seed=3, angle_step=0.03
+        )
+        result = run_visual_odometry(seq.images, seq.cam, max_track_obs=12)
+        ate = float(
+            evaluate.ate_rmse(
+                jnp.asarray(result.trajectory.positions),
+                jnp.asarray(seq.trajectory.positions),
+                with_scale=True,
+            )
+        )
+        assert ate < 0.06, f"ATE {ate}"
+
+    def test_chunked_vo_30_frames(self):
+        """30-frame submapped VO (run_visual_odometry_chunked): overlapping
+        8-frame chunks composed by pose-based Sim(3).  Asserts completion
+        under a wall budget, full-coverage finite trajectory, and
+        drift-bounded error (each handoff transfers scale from 4 shared
+        frames; without a global track merge the composed ATE is
+        drift-limited — measured ~0.2x trajectory span)."""
+        import time
+
+        seq = make_synthetic_sequence(
+            n_frames=30, n_landmarks=500, seed=3, angle_step=0.03
+        )
+        t0 = time.time()
+        from feature_detector_tpu.slam.sequence import run_visual_odometry_chunked
+
+        result = run_visual_odometry_chunked(
+            seq.images, seq.cam, chunk=8, overlap=4, max_track_obs=12
+        )
+        assert time.time() - t0 < 400, "wall budget"
+        assert len(result.trajectory) == 30
+        assert np.isfinite(result.trajectory.positions).all()
+        ate = float(
+            evaluate.ate_rmse(
+                jnp.asarray(result.trajectory.positions),
+                jnp.asarray(seq.trajectory.positions),
+                with_scale=True,
+            )
+        )
+        span = float(
+            np.linalg.norm(
+                seq.trajectory.positions[-1] - seq.trajectory.positions[0]
+            )
+        )
+        assert ate < 0.5 * span, f"ATE {ate} vs span {span}"
+
     def test_distributed_ba_matches(self, seq):
         from feature_detector_tpu.parallel.mesh import make_mesh
 
