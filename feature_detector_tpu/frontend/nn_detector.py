@@ -219,6 +219,12 @@ class NNFeaturePointDetector:
             self.model = SuperPoint()
             self._pre = preprocess_gray
             dummy = jnp.zeros((1, rows, cols, 1), jnp.float32)
+            if params is None:
+                # Packaged trained checkpoint (models/weights.py) — the
+                # session-load analogue of nn_feature_point_detector.cpp:10-31.
+                from ..models.weights import load_default_superpoint
+
+                params = load_default_superpoint()
         else:
             from ..models.disk import Disk, preprocess_gray_rgb
 
