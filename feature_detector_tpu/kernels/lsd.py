@@ -127,51 +127,63 @@ def propagate_labels_meanangle(
         pri = jnp.take(flat_norm, jnp.clip(labels, 0, n_seg - 1).reshape(-1)).reshape(labels.shape)
         return jnp.where(labels < big, pri, -1.0)
 
+    inner_sweeps = 4
+    outer_steps = (opts.propagation_steps + inner_sweeps - 1) // inner_sweeps
+
     def cond(state):
         labels, changed, it = state
-        return changed & (it < opts.propagation_steps)
+        return changed & (it < outer_steps)
 
     def body(state):
         labels, _, it = state
+        # Component means recompute once per OUTER iteration; the
+        # ``inner_sweeps`` adoption sweeps below reuse them.  segment_sum is
+        # a scatter — the one op TPUs hate — and per-sweep recomputation made
+        # the whole detector scatter-bound (measured 1.9 s/frame on-chip);
+        # means drift slowly, so 4-sweep-stale means cost nothing in recall.
         ids = jnp.clip(labels, 0, n_seg).reshape(-1)
         mean = jnp.arctan2(
             jax.ops.segment_sum(sin_a, ids, num_segments=n_seg + 1),
             jax.ops.segment_sum(cos_a, ids, num_segments=n_seg + 1),
         )
-        best_label = labels
-        best_pri = seed_priority(labels)
-        for dr, dc in _SHIFTS:
-            n_label = _shift(labels, dr, dc, big)
-            n_mean = jnp.take(mean, jnp.clip(n_label, 0, n_seg).reshape(-1)).reshape(labels.shape)
-            gate = (
-                valid
-                & (n_label < big)
-                & (jnp.abs(_angle_diff(angle, n_mean)) <= tol)
-            )
-            n_pri = jnp.where(gate, seed_priority(n_label), -jnp.inf)
-            # Lexicographic (norm desc, seed index asc) priority: constant-
-            # brightness bars give every edge pixel an identical norm, and a
-            # strict > alone would never coalesce them (observed: all regions
-            # stayed singletons).  Deterministic index tie-break, quirk-Q2
-            # style.
-            better = (n_pri > best_pri) | (gate & (n_pri == best_pri) & (n_label < best_label))
-            best_label = jnp.where(better, n_label, best_label)
-            best_pri = jnp.where(better, n_pri, best_pri)
-        # Whole-component absorption (pointer jumping): when a component's
-        # SEED pixel itself adopts a stronger neighbor, every member follows
-        # next sweep — the reference's strongest-seed-takes-the-whole-line
-        # behavior (its first-processed seed BFS-claims the entire contour,
-        # feature_line_detector.cpp:27-46) without O(line length) sweeps.
-        jumped = jnp.take(
-            best_label.reshape(-1), jnp.clip(best_label, 0, n_seg - 1).reshape(-1)
-        ).reshape(best_label.shape)
-        # ... but only members the TARGET component's mean angle accepts may
-        # follow (un-gated absorption over-merges: a seed on a contour corner
-        # drags its whole differently-angled region along).
-        j_mean = jnp.take(mean, jnp.clip(jumped, 0, n_seg).reshape(-1)).reshape(jumped.shape)
-        ok_jump = jnp.abs(_angle_diff(angle, j_mean)) <= tol
-        best_label = jnp.where((best_label < big) & ok_jump, jumped, best_label)
-        return best_label, jnp.any(best_label != labels), it + 1
+
+        def sweep(_, labels):
+            best_label = labels
+            best_pri = seed_priority(labels)
+            for dr, dc in _SHIFTS:
+                n_label = _shift(labels, dr, dc, big)
+                n_mean = jnp.take(mean, jnp.clip(n_label, 0, n_seg).reshape(-1)).reshape(labels.shape)
+                gate = (
+                    valid
+                    & (n_label < big)
+                    & (jnp.abs(_angle_diff(angle, n_mean)) <= tol)
+                )
+                n_pri = jnp.where(gate, seed_priority(n_label), -jnp.inf)
+                # Lexicographic (norm desc, seed index asc) priority:
+                # constant-brightness bars give every edge pixel an identical
+                # norm, and a strict > alone would never coalesce them
+                # (observed: all regions stayed singletons).  Deterministic
+                # index tie-break, quirk-Q2 style.
+                better = (n_pri > best_pri) | (gate & (n_pri == best_pri) & (n_label < best_label))
+                best_label = jnp.where(better, n_label, best_label)
+                best_pri = jnp.where(better, n_pri, best_pri)
+            # Whole-component absorption (pointer jumping): when a component's
+            # SEED pixel itself adopts a stronger neighbor, every member
+            # follows next sweep — the reference's strongest-seed-takes-the-
+            # whole-line behavior (feature_line_detector.cpp:27-46) without
+            # O(line length) sweeps...
+            jumped = jnp.take(
+                best_label.reshape(-1), jnp.clip(best_label, 0, n_seg - 1).reshape(-1)
+            ).reshape(best_label.shape)
+            # ... but only members the TARGET component's mean angle accepts
+            # may follow (un-gated absorption over-merges: a seed on a contour
+            # corner drags its whole differently-angled region along).
+            j_mean = jnp.take(mean, jnp.clip(jumped, 0, n_seg).reshape(-1)).reshape(jumped.shape)
+            ok_jump = jnp.abs(_angle_diff(angle, j_mean)) <= tol
+            return jnp.where((best_label < big) & ok_jump, jumped, best_label)
+
+        new = jax.lax.fori_loop(0, inner_sweeps, sweep, labels)
+        return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), jnp.int32(0)))
     return jnp.where(valid, labels, -1)
