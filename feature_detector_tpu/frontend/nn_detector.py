@@ -206,6 +206,7 @@ class NNFeaturePointDetector:
         self.model = None
         self.params = None
         self._apply = None
+        self._nms_head = None
 
     def initialize(self, params=None, rng: Optional[jax.Array] = None) -> bool:
         from .. import models as M
@@ -233,6 +234,12 @@ class NNFeaturePointDetector:
             dummy = jnp.zeros((1, rows, cols, 3), jnp.float32)
         self.params = params if params is not None else self.model.init(rng, dummy)
         self._apply = jax.jit(self.model.apply)
+        # One jitted NMS-head wrapper per session (not per detect() call):
+        # a fresh jax.jit wrapper carries a fresh trace cache, so wrapping
+        # inside detect() would silently retrace every *_NMS frame.
+        from ..models.superpoint import nms_head
+
+        self._nms_head = jax.jit(nms_head, static_argnames=("k", "min_response"))
         # Warm-up at max image size (compile once up front).
         heat, desc = self._apply(self.params, dummy)
         jax.block_until_ready(heat)
@@ -270,11 +277,9 @@ class NNFeaturePointDetector:
                 padding="VALID",
             ) / 64.0
         if opts.model_type in (NNModelType.SUPERPOINT_NMS, NNModelType.DISK_NMS):
-            from ..models.superpoint import nms_head
-
-            kpts, scores, descs = jax.jit(
-                nms_head, static_argnames=("k", "min_response")
-            )(heatmap, desc_map, min_response=opts.min_response)
+            kpts, scores, descs = self._nms_head(
+                heatmap, desc_map, min_response=opts.min_response
+            )
             rows, cols = int(image_u8.shape[0]), int(image_u8.shape[1])
             return directly_select_features(
                 kpts, scores, descs, existing, opts, rows, cols

@@ -33,19 +33,43 @@ from .camera import Pinhole, huber_weight, project, projection_jacobian
 from .lie import hat, se3_apply, se3_update
 
 
+@functools.lru_cache(maxsize=None)
+def _x64_supported() -> bool:
+    """Whether the small dense solves may promote to f64 on this backend.
+
+    TPU's LuDecomposition/Cholesky expanders implement only F32/C64 — an
+    f64 ``linalg.solve``/``inv`` fails to COMPILE on the chip (verified on
+    v5e: "Only F32 and C64 types are implemented in LuDecomposition").  So
+    f64 is a cross-platform-determinism aid for CPU/GPU only; on TPU the
+    solves stay f32 and `_solve_and_update` adds one iterative-refinement
+    step to recover the lost digits (standard mixed-precision practice).
+    """
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # backend not initialisable yet — assume permissive
+        return True
+
+
+def _x64_scope():
+    """`jax.enable_x64()` where f64 compiles; no-op context on TPU."""
+    import contextlib
+
+    return jax.enable_x64() if _x64_supported() else contextlib.nullcontext()
+
+
 def _d(x):
-    """Promote to f64 for the small dense solves.
+    """Promote to f64 for the small dense solves (backend-permitting).
 
     The LM accept/reject chain amplifies ulp-level BLAS/XLA build differences
     into divergent solve paths (round-2 judge reproduced a 8.83-vs-0.1
     clean-cost split across machines).  Every solve here is tiny (3x3 landmark
     inverses, a 6Cx6C reduced camera system with C<~10), so doing them in f64
-    — under the scoped ``jax.enable_x64()`` the public entry points establish
-    — costs nothing and pushes the cross-platform noise floor far below every
-    accept/reject threshold.  Off-context (x64 disabled) this is a silent
-    no-op cast and the solver still works, just in f32.
+    — under the scoped ``_x64_scope()`` the public entry points establish
+    — costs nothing on CPU/GPU and pushes the cross-platform noise floor far
+    below every accept/reject threshold.  On TPU (no f64 LU in XLA) this is
+    a no-op and the solver runs f32 + iterative refinement instead.
     """
-    return x.astype(jnp.float64)
+    return x.astype(jnp.float64) if _x64_supported() else x
 
 
 def _f(x):
@@ -168,9 +192,15 @@ def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, 
     diag = jnp.diagonal(S)
     S = S + jnp.diag(lam * diag + 1e-6)
 
-    # Reduced camera solve in f64 (scoped x64; see _d) — the one place where
-    # LAPACK/XLA build variance in f32 measurably shifts the LM trajectory.
-    dx_cam = _f(jax.scipy.linalg.solve(_d(S), _d(b))).reshape(n_cams, 6)
+    # Reduced camera solve in f64 where the backend allows (scoped x64; see
+    # _d) — the one place where LAPACK/XLA build variance in f32 measurably
+    # shifts the LM trajectory.  On TPU (f32-only LU) one iterative-refinement
+    # step recovers most of the digits f64 would have bought.
+    Sd, bd = _d(S), _d(b)
+    dx = jax.scipy.linalg.solve(Sd, bd)
+    if not _x64_supported():
+        dx = dx + jax.scipy.linalg.solve(Sd, bd - Sd @ dx)
+    dx_cam = _f(dx).reshape(n_cams, 6)
     rot2, trans2 = se3_update(rot, trans, dx_cam)
 
     # Back-substitute landmarks: dp = Hpp^-1 (bp - W^T dx_cam(observers)).
@@ -373,11 +403,12 @@ def ba_solve(problem: BAProblem, cam: Pinhole, opts: BAOptions = BAOptions(),
     """``num_fixed`` (optional, may be traced int32) overrides
     opts.num_fixed_cameras — sliding-window BA freezes all-but-the-window
     without a recompile per distinct count."""
-    # Scoped x64 so the _d() promotions above are real f64 at trace time;
-    # all inputs/outputs stay f32 (array dtypes are preserved under the
-    # context — only explicitly-requested f64 and default constructors widen,
-    # and every constructor in this module pins its dtype).
-    with jax.enable_x64():
+    # Scoped x64 so the _d() promotions above are real f64 at trace time
+    # (no-op on TPU — see _x64_supported); all inputs/outputs stay f32
+    # (array dtypes are preserved under the context — only
+    # explicitly-requested f64 and default constructors widen, and every
+    # constructor in this module pins its dtype).
+    with _x64_scope():
         if num_fixed is not None:
             num_fixed = jnp.asarray(num_fixed, jnp.int32)
         return _ba_solve_jit(problem, cam, opts, num_fixed)
@@ -613,8 +644,9 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
         return problem._replace(rot=rot, trans=trans, points=points[:L])
 
     def run(problem: BAProblem) -> BAProblem:
-        # Same scoped x64 as ba_solve: f64 in the dense solves only.
-        with jax.enable_x64():
+        # Same scoped x64 as ba_solve: f64 in the dense solves only (no-op
+        # on TPU, where the solves run f32 + iterative refinement).
+        with _x64_scope():
             return _run_jit(problem)
 
     return run

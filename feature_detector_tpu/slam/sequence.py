@@ -33,6 +33,7 @@ from ..core.types import Features
 from .ba import BAProblem, ba_solve, make_distributed_ba
 from .camera import Pinhole
 from . import geometry, lie
+from ..utils.log import report_warn
 
 
 # --------------------------------------------------------------------------
@@ -528,6 +529,17 @@ def run_visual_odometry_chunked(
             d_loc = np.linalg.norm(np.diff(cl, axis=0), axis=1).sum()
             d_glob = np.linalg.norm(np.diff(cgl, axis=0), axis=1).sum()
             sc_a = float(d_glob / max(d_loc, 1e-9))
+            # A degenerate chunk solve can collapse the overlap baseline
+            # (d_loc -> 0: the PnP-gate failure mode), exploding sc_a and
+            # poisoning every downstream chunk.  Clamp to a sane band and
+            # fall back to unit scale when outside it.
+            if not np.isfinite(sc_a) or not (0.1 <= sc_a <= 10.0):
+                report_warn(
+                    "chunked VO: degenerate overlap scale %.3g (d_loc=%.3g, "
+                    "d_glob=%.3g) at chunk start %d — falling back to sc=1",
+                    sc_a, d_loc, d_glob, s,
+                )
+                sc_a = 1.0
             t_a = (cgl - sc_a * cl @ rot_a.T).mean(0).astype(np.float32)
         for f in range(s, e):
             if have[f]:
@@ -607,11 +619,17 @@ def run_incremental_frontend(
     n_frames = images.shape[0]
     win = 2 * search_radius + 1
 
-    response_fn = {
+    response_fns = {
         "harris": lambda im, m: KD.harris_response(im, m, det_opts),
         "shi_tomasi": lambda im, m: KD.shi_tomasi_response(im, m, det_opts),
         "fast": lambda im, m: KD.fast_response(im, m),
-    }.get(detector_kind)
+    }
+    if detector_kind not in response_fns:
+        raise ValueError(
+            f"unsupported detector kind {detector_kind!r}; "
+            f"expected one of {sorted(response_fns)}"
+        )
+    response_fn = response_fns[detector_kind]
 
     n_peaks = 4
 

@@ -66,6 +66,21 @@ _TPU_SCRIPT = textwrap.dedent(
     words, valid = brief_compute(jimg, feats.uv, feats.valid, BriefOptions())
     out["fast_uv"] = np.asarray(feats.uv)[np.asarray(feats.valid)].tolist()
     out["brief_words_sum"] = int(np.asarray(words)[np.asarray(valid)].astype(np.uint64).sum())
+
+    # BA solve smoke ON THE CHIP (ADVICE r3 high): TPU's XLA implements
+    # only F32 LU/Cholesky, so ba_solve must compile + converge through the
+    # backend-gated f32 + iterative-refinement path, not the CPU f64 one.
+    from tests.test_slam import CAM, perturb, synthetic_ba
+    from feature_detector_tpu.core.config import BAOptions
+    from feature_detector_tpu.slam.ba import ba_solve, reprojection_cost
+
+    rng = np.random.default_rng(4)
+    gt = synthetic_ba(rng)
+    noisy = perturb(gt, rng)
+    opts = BAOptions(max_iterations=15, damping=1e-6, huber_delta=1e9)
+    out["ba_cost_before"] = float(reprojection_cost(noisy, CAM, opts))
+    solved = ba_solve(noisy, CAM, opts)
+    out["ba_cost_after"] = float(reprojection_cost(solved, CAM, opts))
     print("RESULT" + json.dumps(out))
     """
 )
@@ -97,6 +112,14 @@ def test_greedy_pallas_matches_lax_on_chip(tpu_results):
     # with the lax implementation on identical inputs, compiled for real.
     assert tpu_results["greedy_equal"] is True
     assert tpu_results["greedy_n"] > 10
+
+
+def test_ba_solve_compiles_and_converges_on_chip(tpu_results):
+    # ADVICE r3 high: the f64 promotions must be gated off on TPU (no f64
+    # LuDecomposition in XLA:TPU); the f32 + iterative-refinement path must
+    # still converge on the same synthetic problem the CPU suite solves.
+    assert tpu_results["ba_cost_before"] > 1.0
+    assert tpu_results["ba_cost_after"] < 1e-2
 
 
 def test_detector_parity_with_cpu(tpu_results):
