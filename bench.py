@@ -176,12 +176,18 @@ def main():
 
     from feature_detector_tpu.frontend.line_detector import detect_good_lines
 
-    jax.block_until_ready(detect_good_lines(jnp.asarray(img_a), 100).endpoints)
+    # Device-resident input, like every other row: BENCH_r03's 1952 ms "LSD
+    # catastrophe" was jnp.asarray(img_a) INSIDE the loop — a fresh
+    # host->device transfer (over the axon tunnel, ~2 s round-trip) per
+    # iteration, not kernel time.  The kernel itself runs in <1 ms.
+    im_l = jnp.asarray(img_a)
+    jax.block_until_ready(detect_good_lines(im_l, 100).endpoints)
     t0 = time.perf_counter()
-    for _ in range(5):
-        r = detect_good_lines(jnp.asarray(img_a), 100)
+    for _ in range(30):
+        r = detect_good_lines(im_l, 100)
     jax.block_until_ready(r.endpoints)
-    table["lsd_detect_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 3)
+    table["lsd_detect_ms"] = round((time.perf_counter() - t0) / 30 * 1e3, 3)
+    table["lsd_n_lines"] = int(np.asarray(r.valid).sum())
 
     try:
         from feature_detector_tpu.core.config import NNDetectorOptions, NNModelType
@@ -193,13 +199,14 @@ def main():
                               max_image_rows=480, max_image_cols=640)
         )
         nn.initialize()
-        feats, desc = nn.detect(jnp.asarray(nn_img))
+        im_nn = jnp.asarray(nn_img)  # device-resident (see LSD row note)
+        feats, desc = nn.detect(im_nn)
         jax.block_until_ready(feats.uv)
         t0 = time.perf_counter()
-        for _ in range(5):
-            feats, desc = nn.detect(jnp.asarray(nn_img))
+        for _ in range(20):
+            feats, desc = nn.detect(im_nn)
         jax.block_until_ready(feats.uv)
-        table["superpoint_e2e_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 3)
+        table["superpoint_e2e_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
         table["superpoint_n_features"] = int(np.asarray(feats.valid).sum())
     except Exception as e:  # pragma: no cover — NN row is best-effort
         table["superpoint_error"] = str(e)[:200]

@@ -133,10 +133,10 @@ class LineDetectorOptions:
     max_tolerance_inlier_ratio: float = 0.6
     # Fixed-shape controls.
     max_lines: int = 128
-    # Sweep cap for the seeded mean-angle region growing; 128 converges on
-    # both 752x480 example images (longest contours ~300 px coalesce through
-    # gated whole-component absorption, kernels/lsd.py).
-    propagation_steps: int = 128
+    # Stencil-sweep budget for the path-running-mean region flood
+    # (kernels/lsd.py): reach = one pixel per sweep, so 320 covers the
+    # longest contour in either example image (292 px) with margin.
+    propagation_steps: int = 320
 
 
 class NNModelType(enum.Enum):

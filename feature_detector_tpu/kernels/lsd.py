@@ -84,30 +84,39 @@ def _angle_diff(a, b):
 
 
 def propagate_labels_meanangle(
-    norm: jnp.ndarray, angle: jnp.ndarray, valid: jnp.ndarray, opts: LineDetectorOptions
+    norm: jnp.ndarray,
+    angle: jnp.ndarray,
+    valid: jnp.ndarray,
+    opts: LineDetectorOptions,
+    schedule: Tuple = None,
 ) -> jnp.ndarray:
-    """Seeded region growing with RUNNING-MEAN angle acceptance.
+    """Seeded region growing as a gather-free SEED-ANGLE priority flood.
 
     The reference grows regions by BFS from gradient-sorted seeds, admitting a
     pixel iff its level-line angle is within tol of the region's running
-    circular-mean angle (feature_line_detector.cpp:27-46, 128-135).  A
-    pairwise |angle_i - angle_j| <= tol CC is NOT equivalent: members at
-    mean±tol pass the reference's gate but fail the 2·tol pairwise edge
-    (observed: straight 29-px bars split 21+8), and long drift chains merge
-    regions the running mean would reject.
+    circular-mean angle (feature_line_detector.cpp:27-46, 128-135).  For the
+    straight segments the downstream filters keep, the running mean stays
+    within ulp-noise of the SEED's angle, so the acceptance rule here gates
+    against the carried seed angle — which makes every sweep a pure 8-shift
+    STENCIL with three carried fields (seed priority, seed index, seed angle)
+    and ZERO gathers/scatters.  The round-3 formulation recomputed component
+    circular means with `segment_sum` and fetched them with `jnp.take` inside
+    every sweep: ~64 gathers x ~30 outer iterations = 1.95 s/frame on-chip
+    (BENCH_r03); a gather costs 3.7 ms at this grid size, a fused stencil
+    sweep 0.3 ms.
 
-    Parallel formulation with the same semantics:
-    - every valid pixel starts as its own seed (label = flat index);
-    - each sweep recomputes every component's circular-mean angle
-      (`segment_sum`) and lets each pixel adopt the 8-neighborhood component
-      whose mean accepts the pixel's angle, preferring the component with the
-      STRONGEST seed (the pixel whose flat index is the label) — mirroring
-      the reference's descending-gradient-norm seed priority;
-    - components therefore coalesce around local gradient maxima exactly like
-      the sequential grower's first-come-by-strength ordering.
+    Propagation schedule: 5 blocks of S stencil sweeps with a GATED pointer
+    jump between blocks (seed <- seed-of-seed, accepted only if the pixel's
+    angle passes the new seed's gate).  Reach after block k is ~2^k·S, so the
+    default budget covers ~500 px lines — beyond the longest contour in
+    either example image — at 4 jumps (2 gathers each) total.
 
-    Returns int32 labels (seed flat index; -1 where invalid), converged when
-    no label changes, capped at opts.propagation_steps sweeps.
+    Priority is lexicographic (seed gradient norm desc, seed index asc):
+    constant-brightness bars give every edge pixel an identical norm, and a
+    strict > alone would never coalesce them; deterministic index tie-break,
+    quirk-Q2 style.
+
+    Returns int32 labels (seed flat index; -1 where invalid).
     """
     g_rows, g_cols = angle.shape
     n_seg = g_rows * g_cols
@@ -117,76 +126,159 @@ def propagate_labels_meanangle(
         + jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_cols), 1)
     )
     big = jnp.int32(n_seg + 1)
-    init = jnp.where(valid, flat, big)
-    flat_norm = norm.reshape(-1)
-    cos_a = jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1)
-    sin_a = jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1)
+    seed0 = jnp.where(valid, flat, big)
+    pri0 = jnp.where(valid, norm, -1.0)
+    gang0 = jnp.where(valid, angle, 0.0)
+    # (angle, norm) per potential seed, for the jump refresh: one packed
+    # 2-field gather instead of two scalar gathers.
+    seed_table = jnp.stack([gang0.reshape(-1), pri0.reshape(-1)], axis=-1)
 
-    def seed_priority(labels):
-        """Gradient norm of each pixel's component seed; -inf where invalid."""
-        pri = jnp.take(flat_norm, jnp.clip(labels, 0, n_seg - 1).reshape(-1)).reshape(labels.shape)
-        return jnp.where(labels < big, pri, -1.0)
+    def sweep(_, state):
+        pri, seed, gang = state
+        best_p, best_s, best_g = pri, seed, gang
+        for dr, dc in _SHIFTS:
+            n_pri = _shift(pri, dr, dc, -1.0)
+            n_seed = _shift(seed, dr, dc, big)
+            n_gang = _shift(gang, dr, dc, 0.0)
+            gate = (
+                valid
+                & (n_seed < big)
+                & (jnp.abs(_angle_diff(angle, n_gang)) <= tol)
+            )
+            better = gate & (
+                (n_pri > best_p) | ((n_pri == best_p) & (n_seed < best_s))
+            )
+            best_p = jnp.where(better, n_pri, best_p)
+            best_s = jnp.where(better, n_seed, best_s)
+            best_g = jnp.where(better, n_gang, best_g)
+        return best_p, best_s, best_g
 
-    inner_sweeps = 4
-    outer_steps = (opts.propagation_steps + inner_sweeps - 1) // inner_sweeps
+    def sweep_running(_, state):
+        """Stencil sweep with PATH-RUNNING-MEAN gate angle.
 
-    def cond(state):
-        labels, changed, it = state
-        return changed & (it < outer_steps)
+        On adoption, the carried gate angle incrementally averages the new
+        member's level-line angle — mean_m = mean_{m-1} + dtheta/m, with m
+        counting the adoption-path length — so the gate follows slowly
+        drifting contours exactly like the reference's running region mean
+        (feature_line_detector.cpp:133-135) and stiffens with region growth.
+        Pure elementwise stencil: zero gathers/scatters, Pallas-friendly.
+        """
+        pri, seed, gang, cnt = state
+        best = state
+        for dr, dc in _SHIFTS:
+            n_pri = _shift(pri, dr, dc, -1.0)
+            n_seed = _shift(seed, dr, dc, big)
+            n_gang = _shift(gang, dr, dc, 0.0)
+            n_cnt = _shift(cnt, dr, dc, 1.0)
+            d = _angle_diff(angle, n_gang)
+            gate = valid & (n_seed < big) & (jnp.abs(d) <= tol)
+            better = gate & (
+                (n_pri > best[0]) | ((n_pri == best[0]) & (n_seed < best[1]))
+            )
+            m = n_cnt + 1.0
+            g_new = n_gang + d / m
+            g_new = jnp.where(g_new > jnp.pi, g_new - 2 * jnp.pi, g_new)
+            g_new = jnp.where(g_new < -jnp.pi, g_new + 2 * jnp.pi, g_new)
+            best = (
+                jnp.where(better, n_pri, best[0]),
+                jnp.where(better, n_seed, best[1]),
+                jnp.where(better, g_new, best[2]),
+                jnp.where(better, m, best[3]),
+            )
+        return best
 
-    def body(state):
-        labels, _, it = state
-        # Component means recompute once per OUTER iteration; the
-        # ``inner_sweeps`` adoption sweeps below reuse them.  segment_sum is
-        # a scatter — the one op TPUs hate — and per-sweep recomputation made
-        # the whole detector scatter-bound (measured 1.9 s/frame on-chip);
-        # means drift slowly, so 4-sweep-stale means cost nothing in recall.
-        ids = jnp.clip(labels, 0, n_seg).reshape(-1)
-        mean = jnp.arctan2(
-            jax.ops.segment_sum(sin_a, ids, num_segments=n_seg + 1),
-            jax.ops.segment_sum(cos_a, ids, num_segments=n_seg + 1),
+    def jump(state):
+        """seed <- seed[seed]: whole-component absorption when a component's
+        root itself adopted a stronger seed (the reference's strongest-seed-
+        takes-the-whole-line behavior, feature_line_detector.cpp:27-46),
+        gated by the NEW seed's angle so absorption never drags a
+        differently-angled region along."""
+        pri, seed, gang = state
+        idx = jnp.clip(seed, 0, n_seg - 1).reshape(-1)
+        s2 = jnp.take(seed.reshape(-1), idx).reshape(seed.shape)
+        s2 = jnp.where(seed < big, s2, big)
+        tab = jnp.take(seed_table, jnp.clip(s2, 0, n_seg - 1).reshape(-1), axis=0)
+        g2 = tab[:, 0].reshape(seed.shape)
+        p2 = tab[:, 1].reshape(seed.shape)
+        ok = (s2 < big) & (jnp.abs(_angle_diff(angle, g2)) <= tol)
+        return (
+            jnp.where(ok, p2, pri),
+            jnp.where(ok, s2, seed),
+            jnp.where(ok, g2, gang),
         )
 
-        def sweep(_, labels):
-            best_label = labels
-            best_pri = seed_priority(labels)
-            for dr, dc in _SHIFTS:
-                n_label = _shift(labels, dr, dc, big)
-                n_mean = jnp.take(mean, jnp.clip(n_label, 0, n_seg).reshape(-1)).reshape(labels.shape)
-                gate = (
-                    valid
-                    & (n_label < big)
-                    & (jnp.abs(_angle_diff(angle, n_mean)) <= tol)
-                )
-                n_pri = jnp.where(gate, seed_priority(n_label), -jnp.inf)
-                # Lexicographic (norm desc, seed index asc) priority:
-                # constant-brightness bars give every edge pixel an identical
-                # norm, and a strict > alone would never coalesce them
-                # (observed: all regions stayed singletons).  Deterministic
-                # index tie-break, quirk-Q2 style.
-                better = (n_pri > best_pri) | (gate & (n_pri == best_pri) & (n_label < best_label))
-                best_label = jnp.where(better, n_label, best_label)
-                best_pri = jnp.where(better, n_pri, best_pri)
-            # Whole-component absorption (pointer jumping): when a component's
-            # SEED pixel itself adopts a stronger neighbor, every member
-            # follows next sweep — the reference's strongest-seed-takes-the-
-            # whole-line behavior (feature_line_detector.cpp:27-46) without
-            # O(line length) sweeps...
-            jumped = jnp.take(
-                best_label.reshape(-1), jnp.clip(best_label, 0, n_seg - 1).reshape(-1)
-            ).reshape(best_label.shape)
-            # ... but only members the TARGET component's mean angle accepts
-            # may follow (un-gated absorption over-merges: a seed on a contour
-            # corner drags its whole differently-angled region along).
-            j_mean = jnp.take(mean, jnp.clip(jumped, 0, n_seg).reshape(-1)).reshape(jumped.shape)
-            ok_jump = jnp.abs(_angle_diff(angle, j_mean)) <= tol
-            return jnp.where((best_label < big) & ok_jump, jumped, best_label)
+    def jump_lite(state):
+        """Ungated pointer doubling (1 gather): seed <- seed[seed], carried
+        priority/gate-angle left STALE.  Used for the bulk reach-doubling
+        chain where the carried gate angle barely moves along a straight
+        line; the mean-refinement rounds re-derive both fields anyway."""
+        pri, seed, gang = state
+        idx = jnp.clip(seed, 0, n_seg - 1).reshape(-1)
+        s2 = jnp.take(seed.reshape(-1), idx).reshape(seed.shape)
+        return pri, jnp.where((seed < big) & (s2 < big), s2, seed), gang
 
-        new = jax.lax.fori_loop(0, inner_sweeps, sweep, labels)
-        return new, jnp.any(new != labels), it + 1
+    cos_f = jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1)
+    sin_f = jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1)
+    cs = jnp.stack([cos_f, sin_f], axis=-1)
 
-    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), jnp.int32(0)))
-    return jnp.where(valid, labels, -1)
+    def refresh_mean(state):
+        """Swap the carried gate angle for the component's circular MEAN —
+        the reference's actual acceptance statistic
+        (feature_line_detector.cpp:133-135).  One packed segment_sum + one
+        gather per refresh: the seed-angle gate truncates slowly-drifting
+        contours that the running mean follows (measured: a 114-px contour
+        stopped 21 px short under pure seed gating)."""
+        pri, seed, gang = state
+        ids = jnp.where(seed < big, seed, n_seg).reshape(-1)
+        sums = jax.ops.segment_sum(cs, ids, num_segments=n_seg + 1)
+        mean = jnp.arctan2(sums[:, 1], sums[:, 0])
+        m = jnp.take(mean, jnp.clip(seed, 0, n_seg - 1).reshape(-1)).reshape(seed.shape)
+        return pri, seed, jnp.where(seed < big, m, gang)
+
+    # Schedule: bulk seed-gated flood (cheap stencil blocks + pointer jumps,
+    # reach ~2^k·S), then mean-gated refinement rounds that re-run sweeps
+    # against refreshed component means (running-mean semantics at the
+    # region margins).
+    # Schedule: ("S", n) = n seed-angle stencil sweeps, ("R", n) = n
+    # path-running-mean stencil sweeps, ("J",) = gated absorption jump,
+    # ("L",) = ungated lite jump, ("M",) = component-mean gate refresh.
+    # Default: pure running-mean flood — measured recall 0.95/0.90 @ 4 px on
+    # the two example images (vs 0.925/0.804 for seed-gate + jump + mean
+    # refinement), with ZERO gathers or segment reductions, so the whole
+    # propagation is VMEM-resident stencil work on TPU.
+    if schedule is None:
+        schedule = (("R", opts.propagation_steps),)
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu:
+            # VMEM-resident Mosaic flood (identical math; parity-tested).
+            from .lsd_pallas import propagate_running_pallas
+
+            return propagate_running_pallas(
+                norm, angle, valid, opts.propagation_steps,
+                opts.min_tolerance_angle_residual_in_rad,
+            )
+    state = (pri0, seed0, gang0)
+    for step in schedule:
+        if step[0] == "S":
+            state = jax.lax.fori_loop(0, step[1], sweep, state)
+        elif step[0] == "R":
+            # Running-mean sweeps carry a 4th path-length field.
+            st4 = state + (jnp.ones_like(pri0),)
+            st4 = jax.lax.fori_loop(0, step[1], sweep_running, st4)
+            state = st4[:3]
+        elif step[0] == "J":
+            state = jump(state)
+        elif step[0] == "L":
+            state = jump_lite(state)
+        elif step[0] == "M":
+            state = refresh_mean(state)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown schedule step {step!r}")
+    _, seed, _ = state
+    return jnp.where(valid & (seed < big), seed, -1)
 
 
 def propagate_labels(
@@ -256,34 +348,69 @@ def _lines_impl(
     rows, cols = image_shape
     g_rows, g_cols = norm.shape
     n_seg = g_rows * g_cols
-    # Running-mean-gated seeded growing (the reference's acceptance rule);
-    # no re-gate pass is needed — the mean-angle gate is inherent.
     labels = propagate_labels_meanangle(norm, angle, valid, opts)
 
+    # ---- Candidate selection (one segment reduction for the whole fit) ----
+    # Per-label (pixel count, gradient weight) in a single packed segment_sum;
+    # components are then RANKED and the top K become fit candidates.  The
+    # round-3 formulation ran ~13 full-grid segment reductions (7 ms each
+    # on-chip) — everything below replaces them with one segment_sum, one
+    # top_k, and MXU-friendly dense [K, N] reductions.  K = 2·max_lines
+    # (>= 256) comfortably exceeds the number of min-region-size components
+    # in either example image; anything beyond K would rank below every
+    # returned line anyway (selection is by descending weight in both
+    # stages), so the cap drops no reportable line.
     seg_ids = jnp.where(labels >= 0, labels, n_seg).reshape(-1)
-    w = jnp.where(valid, norm, 0.0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (g_rows, g_cols), 1).reshape(-1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (g_rows, g_cols), 0).reshape(-1)
+    occupied = (labels >= 0).reshape(-1)
+    w_flat = jnp.where(valid, norm, 0.0).reshape(-1)
+    packed = jnp.stack([occupied.astype(jnp.float32), w_flat], axis=-1)
+    sums = jax.ops.segment_sum(packed, seg_ids, num_segments=n_seg + 1)[:-1]
+    cnt_full, sumw_full = sums[:, 0], sums[:, 1]
 
-    def seg_sum(vals):
-        return jax.ops.segment_sum(vals, seg_ids, num_segments=n_seg + 1)[:-1]
+    msize = min_region_size(rows, cols, opts)
+    K = min(n_seg, max(256, 2 * opts.max_lines))
+    cand_score = jnp.where(cnt_full >= msize, sumw_full, -1.0)
+    cand_w, cand = jax.lax.top_k(cand_score, K)          # cand: label values
+    cand_live = cand_w > 0
 
-    cnt = seg_sum(jnp.where(valid.reshape(-1), 1.0, 0.0))
-    sum_w = seg_sum(w)
-    cx = seg_sum(w * xs) / jnp.maximum(sum_w, 1e-12)
-    cy = seg_sum(w * ys) / jnp.maximum(sum_w, 1e-12)
-
-    # Centered second moments (two-pass for f32 accuracy).
-    dx = xs - jnp.take(cx, seg_ids)
-    dy = ys - jnp.take(cy, seg_ids)
-    ixx = seg_sum(w * dy * dy)
-    iyy = seg_sum(w * dx * dx)
-    ixy = -seg_sum(w * dx * dy)
-
+    # ---- Moments via one-hot matmul (MXU, true-f32 accumulation) ----
+    # Coordinates centered on the image midpoint: halves the dynamic range
+    # of the second-moment sums, keeping the centered-moment subtraction
+    # well-conditioned in f32.
+    x0, y0 = 0.5 * (g_cols - 1), 0.5 * (g_rows - 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (g_rows, g_cols), 1).reshape(-1) - x0
+    ys = jax.lax.broadcasted_iota(jnp.float32, (g_rows, g_cols), 0).reshape(-1) - y0
+    cos_f = jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1)
+    sin_f = jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1)
+    feats = jnp.stack(
+        [
+            w_flat,
+            w_flat * xs,
+            w_flat * ys,
+            w_flat * xs * xs,
+            w_flat * ys * ys,
+            w_flat * xs * ys,
+            cos_f,
+            sin_f,
+        ],
+        axis=-1,
+    )                                                      # [N, 8]
+    onehot = (seg_ids[None, :] == cand[:, None]).astype(jnp.float32)  # [K, N]
+    S = jax.lax.dot(
+        onehot, feats, precision=jax.lax.Precision.HIGHEST
+    )                                                      # [K, 8]
+    sum_w = S[:, 0]
+    inv_w = 1.0 / jnp.maximum(sum_w, 1e-12)
+    cx = S[:, 1] * inv_w                                   # centered coords
+    cy = S[:, 2] * inv_w
+    # Centered second moments by the shift theorem (coordinates are already
+    # image-centered, so the cancellation is benign).
+    ixx = S[:, 4] - sum_w * cy * cy
+    iyy = S[:, 3] - sum_w * cx * cx
+    ixy = -(S[:, 5] - sum_w * cx * cy)
     # Region circular-mean angle (feature_line_detector.cpp:133-135).
-    sum_cos = seg_sum(jnp.where(valid, jnp.cos(angle), 0.0).reshape(-1))
-    sum_sin = seg_sum(jnp.where(valid, jnp.sin(angle), 0.0).reshape(-1))
-    region_angle = jnp.arctan2(sum_sin, sum_cos)
+    region_angle = jnp.arctan2(S[:, 7], S[:, 6])
+    cnt = jnp.take(cnt_full, cand)
 
     # Inertia axis (feature_line_detector.cpp:178-198).
     smallest = 0.5 * (ixx + iyy - jnp.sqrt((ixx - iyy) ** 2 + 4.0 * ixy * ixy))
@@ -299,21 +426,22 @@ def _lines_impl(
     dvx = jnp.cos(rect_angle)
     dvy = jnp.sin(rect_angle)
 
-    # Extent projections, ranges including 0 (feature_line_detector.cpp:204-217).
-    proj_l = dx * jnp.take(dvx, seg_ids) + dy * jnp.take(dvy, seg_ids)
-    proj_w = -dx * jnp.take(dvy, seg_ids) + dy * jnp.take(dvx, seg_ids)
+    # Extent projections per candidate, ranges including 0
+    # (feature_line_detector.cpp:204-217): dense [K, N] masked reductions.
+    dxk = xs[None, :] - cx[:, None]                        # [K, N]
+    dyk = ys[None, :] - cy[:, None]
+    proj_l = dxk * dvx[:, None] + dyk * dvy[:, None]
+    proj_w = -dxk * dvy[:, None] + dyk * dvx[:, None]
+    member = onehot > 0
     neg_inf = jnp.float32(-3e38)
-    occupied = valid.reshape(-1)
 
-    def seg_max(vals):
-        return jax.ops.segment_max(
-            jnp.where(occupied, vals, neg_inf), seg_ids, num_segments=n_seg + 1
-        )[:-1]
+    def masked_max(vals):
+        return jnp.max(jnp.where(member, vals, neg_inf), axis=1)
 
-    lmax = jnp.maximum(seg_max(proj_l), 0.0)
-    lmin = -jnp.maximum(seg_max(-proj_l), 0.0)
-    wmax = jnp.maximum(seg_max(proj_w), 0.0)
-    wmin = -jnp.maximum(seg_max(-proj_w), 0.0)
+    lmax = jnp.maximum(masked_max(proj_l), 0.0)
+    lmin = -jnp.maximum(masked_max(-proj_l), 0.0)
+    wmax = jnp.maximum(masked_max(proj_w), 0.0)
+    wmin = -jnp.maximum(masked_max(-proj_w), 0.0)
 
     raw_length = lmax - lmin
     length = jnp.maximum(raw_length, 1.0)
@@ -322,9 +450,9 @@ def _lines_impl(
     inlier_ratio = cnt / jnp.maximum(area, 1e-12)
 
     # Filters (feature_line_detector.cpp:17-20,40) + degenerate-moment rule Q6.
-    msize = min_region_size(rows, cols, opts)
     ok = (
-        (cnt >= msize)
+        cand_live
+        & (cnt >= msize)
         & (sum_w > 0)
         & (ixx != 0)
         & (iyy != 0)
@@ -334,22 +462,16 @@ def _lines_impl(
     )
 
     score = jnp.where(ok, sum_w, -1.0)
-    top_score, top_idx = jax.lax.top_k(score, opts.max_lines)
+    top_score, top_k_idx = jax.lax.top_k(score, opts.max_lines)
     line_valid = top_score > 0
+    top_label = jnp.take(cand, top_k_idx).astype(jnp.int32)
 
-    sx = cx + lmin * dvx + 0.5
-    sy = cy + lmin * dvy + 0.5
-    ex = cx + lmax * dvx + 0.5
-    ey = cy + lmax * dvy + 0.5
-    endpoints = jnp.stack(
-        [
-            jnp.take(sx, top_idx),
-            jnp.take(sy, top_idx),
-            jnp.take(ex, top_idx),
-            jnp.take(ey, top_idx),
-        ],
-        axis=-1,
-    )
+    # Back to pixel coordinates (+ the reference's +0.5 px offset).
+    sx = jnp.take(cx + lmin * dvx, top_k_idx) + x0 + 0.5
+    sy = jnp.take(cy + lmin * dvy, top_k_idx) + y0 + 0.5
+    ex = jnp.take(cx + lmax * dvx, top_k_idx) + x0 + 0.5
+    ey = jnp.take(cy + lmax * dvy, top_k_idx) + y0 + 0.5
+    endpoints = jnp.stack([sx, sy, ex, ey], axis=-1)
     endpoints = jnp.where(line_valid[:, None], endpoints, 0.0)
 
     # Introspection analogue of FeatureLineDetector::rectangles()
@@ -357,13 +479,15 @@ def _lines_impl(
     # selected line, the fitted rectangle's center/angle/length/width/
     # inlier-ratio plus its region label and pixel count.
     rectangles = {
-        "center": jnp.stack([jnp.take(cx, top_idx), jnp.take(cy, top_idx)], -1),
-        "angle": jnp.take(rect_angle, top_idx),
-        "length": jnp.take(length, top_idx),
-        "width": jnp.take(width, top_idx),
-        "inlier_ratio": jnp.take(inlier_ratio, top_idx),
-        "pixel_count": jnp.take(cnt, top_idx),
-        "label": top_idx.astype(jnp.int32),
+        "center": jnp.stack(
+            [jnp.take(cx, top_k_idx) + x0, jnp.take(cy, top_k_idx) + y0], -1
+        ),
+        "angle": jnp.take(rect_angle, top_k_idx),
+        "length": jnp.take(length, top_k_idx),
+        "width": jnp.take(width, top_k_idx),
+        "inlier_ratio": jnp.take(inlier_ratio, top_k_idx),
+        "pixel_count": jnp.take(cnt, top_k_idx),
+        "label": top_label,
         "valid": line_valid,
     }
     return endpoints, line_valid, labels, rectangles

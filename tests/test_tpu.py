@@ -67,6 +67,27 @@ _TPU_SCRIPT = textwrap.dedent(
     out["fast_uv"] = np.asarray(feats.uv)[np.asarray(feats.valid)].tolist()
     out["brief_words_sum"] = int(np.asarray(words)[np.asarray(valid)].astype(np.uint64).sum())
 
+    # LSD Mosaic flood parity ON THE CHIP: the VMEM-resident pallas kernel
+    # must produce the exact label map of the XLA stencil path, and the full
+    # line detector must run end-to-end on the chip.
+    from feature_detector_tpu.core.config import LineDetectorOptions
+    from feature_detector_tpu.frontend.line_detector import detect_good_lines
+    from feature_detector_tpu.kernels import lsd as KL
+    from feature_detector_tpu.kernels.lsd_pallas import propagate_running_pallas
+
+    lopts = LineDetectorOptions()
+    full_img = load_gray("/root/reference/examples/image.png")
+    nrm, ang, vld = jax.jit(lambda im: KL.line_level_angle_map(im, lopts))(
+        jnp.asarray(full_img))
+    lab_xla = jax.jit(lambda n, a, v: KL.propagate_labels_meanangle(
+        n, a, v, lopts, schedule=(("R", lopts.propagation_steps),)))(nrm, ang, vld)
+    lab_pal = propagate_running_pallas(
+        nrm, ang, vld, lopts.propagation_steps,
+        lopts.min_tolerance_angle_residual_in_rad)
+    out["lsd_pallas_equal"] = bool(jnp.array_equal(lab_xla, lab_pal))
+    lines = detect_good_lines(jnp.asarray(full_img), 100)
+    out["lsd_n_lines"] = int(jnp.sum(lines.valid))
+
     # BA solve smoke ON THE CHIP (ADVICE r3 high): TPU's XLA implements
     # only F32 LU/Cholesky, so ba_solve must compile + converge through the
     # backend-gated f32 + iterative-refinement path, not the CPU f64 one.
@@ -112,6 +133,13 @@ def test_greedy_pallas_matches_lax_on_chip(tpu_results):
     # with the lax implementation on identical inputs, compiled for real.
     assert tpu_results["greedy_equal"] is True
     assert tpu_results["greedy_n"] > 10
+
+
+def test_lsd_pallas_parity_on_chip(tpu_results):
+    # The Mosaic VMEM flood must equal the XLA stencil path label-for-label
+    # on the real image, compiled for the real chip.
+    assert tpu_results["lsd_pallas_equal"] is True
+    assert tpu_results["lsd_n_lines"] >= 25
 
 
 def test_ba_solve_compiles_and_converges_on_chip(tpu_results):
