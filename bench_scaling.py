@@ -67,7 +67,12 @@ def _worker(role: str, n_dev: int):
         # on CPU: the LM loop's small-kernel dispatch chain doesn't
         # multithread, so even the single-device program cannot use a second
         # core — measured 6.35/s on 1 core vs 5.4/s on 2.)
-        gt = synthetic_ba(rng, n_cams=8, n_pts=8192 * n_dev, deg=4)
+        # 16k landmarks per device: per-iteration LOCAL work must dominate
+        # the 2 collective rendezvous per LM iteration for weak scaling to
+        # be observable at all on a shared-core virtual mesh (a collectives
+        # microbenchmark with ideal embarrassingly-parallel local work tops
+        # out at ~0.64 efficiency on this 2-core host — see PERF.md).
+        gt = synthetic_ba(rng, n_cams=8, n_pts=16384 * n_dev, deg=4)
         noisy = perturb(gt, rng)
         ba_opts = BAOptions(max_iterations=10, damping=1e-6, huber_delta=1e9)
         solver = (
@@ -76,7 +81,7 @@ def _worker(role: str, n_dev: int):
             else make_distributed_ba(mesh, CAM, ba_opts)
         )
         jax.block_until_ready(solver(noisy).points)
-        iters = 5
+        iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
             out = solver(noisy)

@@ -116,6 +116,62 @@ def detect_good_features(
     return Features(uv=uv, response=resp, valid=valid)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("kind", "needed_num", "opts", "sub", "use_pallas")
+)
+def detect_good_features_batch(
+    images: jnp.ndarray,
+    kind: str,
+    needed_num: int,
+    opts: DetectorOptions = DetectorOptions(),
+    sub=None,
+    use_pallas: Optional[bool] = None,
+) -> Features:
+    """Fresh (no-existing) detection over a [B, H, W] frame stack.
+
+    Same per-frame semantics as ``detect_good_features(im, Features.empty(..)
+    ..)`` (asserted by tests), but the greedy selection runs through the
+    BATCHED Mosaic kernel — several frames share one pick loop, so the
+    latency-bound argmax/suppress chain amortizes across the batch instead
+    of replaying serially per frame (measured 141 -> ~40 us/frame at
+    batch 64 on v5e).  This is the DP front-end / throughput-bench entry;
+    the incremental Q9 path stays on ``detect_good_features``.
+    """
+    if sub is None:
+        sub = {
+            "harris": HarrisOptions(),
+            "shi_tomasi": ShiTomasiOptions(),
+            "fast": FastOptions(),
+        }[kind]
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    capacity = opts.max_features
+    mask = jnp.ones(images.shape[1:], jnp.int32)
+    cand, raw_resp = jax.vmap(
+        lambda im: _candidate_map(im, mask, kind, opts, sub)
+    )(images)
+    max_picks = max(1, min(needed_num, capacity))
+    n_stop = jnp.int32(needed_num)
+    if use_pallas:
+        from ..kernels.greedy_pallas import greedy_select_pallas_batch
+
+        new_uv, new_resp, new_valid = greedy_select_pallas_batch(
+            cand, max_picks, n_stop, opts.min_feature_distance
+        )
+    else:
+        new_uv, new_resp, new_valid = jax.vmap(
+            lambda c: K.greedy_select_lax(c, max_picks, n_stop, opts.min_feature_distance)
+        )(cand)
+    if opts.subpixel:
+        new_uv = jax.vmap(K.subpixel_refine)(raw_resp, new_uv, new_valid)
+    pad = capacity - max_picks
+    if pad:
+        new_uv = jnp.pad(new_uv, ((0, 0), (0, pad), (0, 0)))
+        new_resp = jnp.pad(new_resp, ((0, 0), (0, pad)))
+        new_valid = jnp.pad(new_valid, ((0, 0), (0, pad)))
+    return Features(uv=new_uv, response=new_resp, valid=new_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("image_rows", "image_cols", "opts"))
 def sparsify_features(
     features: Features,

@@ -232,6 +232,13 @@ class NNFeaturePointDetector:
             self.model = Disk()
             self._pre = preprocess_gray_rgb
             dummy = jnp.zeros((1, rows, cols, 3), jnp.float32)
+            if params is None:
+                # Packaged trained checkpoint (models/weights.py) — the
+                # session-load analogue of nn_feature_point_detector.cpp:10-31
+                # for disk.onnx / disk_nms.onnx.
+                from ..models.weights import load_default_disk
+
+                params = load_default_disk()
         self.params = params if params is not None else self.model.init(rng, dummy)
         self._apply = jax.jit(self.model.apply)
         # One jitted NMS-head wrapper per session (not per detect() call):

@@ -142,9 +142,29 @@ def brief_compute_mxu(
     xs = jnp.clip(x, PATCH_HALF, cols - PATCH_HALF - 1)
     ys = jnp.clip(y, PATCH_HALF, rows - PATCH_HALF - 1)
 
-    patches = jax.vmap(
-        lambda oy, ox: jax.lax.dynamic_slice(img, (oy, ox), (PATCH, PATCH))
-    )(ys - PATCH_HALF, xs - PATCH_HALF).reshape(n, PATCH * PATCH)
+    # Patch extraction as two one-hot matmuls: patches[n] = R_n @ img @ C_n
+    # with R_n [PATCH, rows], C_n [cols, PATCH] one-hot window selectors.
+    # Feature-indexed GATHERS are the slowest thing this chip does (~1.6 ns
+    # per element, 17.7 ms for a 32-frame batch measured on v5e); the same
+    # reads as MXU contractions take ~7 GFLOP/frame ≈ tens of us.  Exact:
+    # u8 pixel values and 0/1 selectors are exact in bf16, accumulation f32.
+    iota_p = jnp.arange(PATCH, dtype=jnp.int32)
+    col_sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, cols, PATCH), 1)
+        == (xs - PATCH_HALF)[:, None, None] + iota_p[None, None, :]
+    ).astype(jnp.bfloat16)
+    row_sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, PATCH, rows), 2)
+        == (ys - PATCH_HALF)[:, None, None] + iota_p[None, :, None]
+    ).astype(jnp.bfloat16)
+    cols_nhc = jnp.einsum(
+        "hw,nwc->nhc", img.astype(jnp.bfloat16), col_sel,
+        preferred_element_type=jnp.float32,
+    )
+    patches = jnp.einsum(
+        "nrh,nhc->nrc", row_sel, cols_nhc.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, PATCH * PATCH)
 
     # Exact f32 moments (products <= 8*255 and ~300k-scale sums are exact).
     m = patches @ jnp.asarray(_moment_weights())  # [N, 2] = (m10, m01)

@@ -133,35 +133,44 @@ def fast_response(
     rows, cols = img.shape
     bound = 3
 
+    # Bitpacked formulation: ring classification packs into one uint32 mask
+    # per sign per pixel, and the max consecutive arc comes from the classic
+    # run-length bit trick (x &= x << 1 survives exactly max-run-1 rounds).
+    # The round-3 version stacked a [16, H, W] int8 ring and ran a 64-step
+    # scan over [H, W] temporaries — ~360 MB of HBM traffic per frame that
+    # XLA cannot fuse through the stack (measured 0.31 ms/frame on v5e);
+    # this chain is pure elementwise u32 ops that fuse into a handful of
+    # passes.
     pad = jnp.pad(img, bound)
-    ring = jnp.stack(
-        [pad[bound + dr : bound + dr + rows, bound + dc : bound + dc + cols]
-         for (dc, dr) in _FAST_CIRCLE]
-    )
     hi = img + sub.min_pixel_diff_value
     lo = img - sub.min_pixel_diff_value
-    cls = jnp.where(ring > hi[None], 1, jnp.where(ring < lo[None], -1, 0)).astype(jnp.int8)
+    b_pos = jnp.zeros((rows, cols), jnp.uint32)
+    b_neg = jnp.zeros((rows, cols), jnp.uint32)
+    for k, (dc, dr) in enumerate(_FAST_CIRCLE):
+        ring_k = pad[bound + dr : bound + dr + rows, bound + dc : bound + dc + cols]
+        b_pos = b_pos | ((ring_k > hi).astype(jnp.uint32) << k)
+        b_neg = b_neg | ((ring_k < lo).astype(jnp.uint32) << k)
 
     # Pre-check: final-count semantics — compass indices 4, 8, 12 share a sign
     # (feature_point_fast_detector.cpp:20-42; see oracle note).
     if sub.n >= 12:
-        c4, c8, c12 = cls[4], cls[8], cls[12]
-        precheck = ((c4 == 1) & (c8 == 1) & (c12 == 1)) | (
-            (c4 == -1) & (c8 == -1) & (c12 == -1)
-        )
+        compass = jnp.uint32((1 << 4) | (1 << 8) | (1 << 12))
+        precheck = ((b_pos & compass) == compass) | ((b_neg & compass) == compass)
     else:
         precheck = jnp.ones((rows, cols), bool)
 
-    # Max run of each sign over the doubled ring, capped at 16.
-    best = jnp.zeros((rows, cols), jnp.int32)
-    for sign in (1, -1):
-        s = (cls == sign).astype(jnp.int32)
-        run = jnp.zeros((rows, cols), jnp.int32)
-        m = jnp.zeros((rows, cols), jnp.int32)
-        for k in range(32):
-            run = jnp.where(s[k % 16] == 1, run + 1, 0)
-            m = jnp.maximum(m, run)
-        best = jnp.maximum(best, jnp.minimum(m, 16))
+    def max_run(b16):
+        # Doubled ring (circular runs), capped at 16: double the 16-bit
+        # pattern into 32 bits, then count how many x &= x << 1 rounds
+        # survive.
+        x = b16 | (b16 << 16)
+        n = jnp.zeros((rows, cols), jnp.int32)
+        for _ in range(16):
+            n = jnp.where(x != 0, n + 1, n)
+            x = x & (x << 1)
+        return n
+
+    best = jnp.maximum(max_run(b_pos), max_run(b_neg))
 
     region = jnp.asarray(_interior_mask(image.shape, bound))
     keep = region & precheck & (mask != 0)

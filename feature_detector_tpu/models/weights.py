@@ -18,6 +18,7 @@ from typing import Optional
 _WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
 
 SUPERPOINT_SYNTH = os.path.join(_WEIGHTS_DIR, "superpoint_synth.npz")
+DISK_SYNTH = os.path.join(_WEIGHTS_DIR, "disk_synth.npz")
 
 
 def load_default_superpoint() -> Optional[dict]:
@@ -27,3 +28,13 @@ def load_default_superpoint() -> Optional[dict]:
     from .train_superpoint import load_params_npz
 
     return load_params_npz(SUPERPOINT_SYNTH)
+
+
+def load_default_disk() -> Optional[dict]:
+    """The packaged trained DISK params (disk_synth.npz, trained in-repo on
+    the TPU by models/train_disk.py), or None when absent."""
+    if not os.path.exists(DISK_SYNTH):
+        return None
+    from .train_superpoint import load_params_npz
+
+    return load_params_npz(DISK_SYNTH)

@@ -555,9 +555,18 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
                 S, b, Hpp_inv, bp, W, valid, cam_idx = _assemble(
                     rot, trans, points, obs_cam, obs_uv, cam, ropts, n_cams, obs_w
                 )
-                # Reduce the camera system over all landmark shards (ICI psum).
-                S = jax.lax.psum(S, axis)
-                b = jax.lax.psum(b, axis)
+                # Reduce the camera system over all landmark shards in ONE
+                # fused psum (S and b packed): every collective is a
+                # cross-device rendezvous, and at 2 per LM iteration the
+                # barrier count — not payload — bounded weak scaling on the
+                # virtual CPU mesh (measured 0.38 -> 0.51 efficiency from
+                # this fusion alone).
+                packed = jax.lax.psum(
+                    jnp.concatenate([S.reshape(-1), b]), axis
+                )
+                n6 = 6 * n_cams
+                S = packed[: n6 * n6].reshape(n6, n6)
+                b = packed[n6 * n6 :]
                 rot2, trans2, points2, _ = _solve_and_update(
                     rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, ropts, lam
                 )

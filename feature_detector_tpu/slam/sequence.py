@@ -17,6 +17,7 @@ exercised hermetically in CI.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -508,7 +509,31 @@ def run_visual_odometry_chunked(
         total_tracks += r.num_tracks
         if r.mean_track_length:
             lens.append(r.mean_track_length)
-        c_loc = -np.einsum("fji,fj->fi", r.rotations_wc, r.translations_wc)
+        # A chunk solve may emit non-finite poses outright (degenerate
+        # registration); sanitize by holding the last finite pose so the
+        # Sim(3) composition below never sees NaNs (observed: the chordal
+        # chordal-mean SVD throws LinAlgError and kills the whole sequence).
+        rot_l = np.array(r.rotations_wc, np.float32)
+        tr_l = np.array(r.translations_wc, np.float32)
+        bad = ~(
+            np.isfinite(rot_l).all(axis=(1, 2)) & np.isfinite(tr_l).all(axis=1)
+        )
+        if bad.any():
+            report_warn(
+                "chunked VO: %d non-finite chunk poses at chunk start %d — "
+                "holding last finite pose", int(bad.sum()), s,
+            )
+            for f in range(len(rot_l)):
+                if bad[f]:
+                    src = f - 1
+                    while src >= 0 and bad[src]:
+                        src -= 1
+                    if src >= 0:
+                        rot_l[f], tr_l[f] = rot_l[src], tr_l[src]
+                    else:
+                        rot_l[f] = np.eye(3, np.float32)
+                        tr_l[f] = 0.0
+        c_loc = -np.einsum("fji,fj->fi", rot_l, tr_l)
         if s == 0:
             rot_a, t_a, sc_a = np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0
         else:
@@ -521,9 +546,16 @@ def run_visual_odometry_chunked(
             # distances; translation = residual mean.
             M = np.zeros((3, 3), np.float64)
             for f in shared:
-                M += rots_g[f].T @ r.rotations_wc[f - s]
-            U, _, Vt = np.linalg.svd(M)
-            rot_a = (U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt).astype(np.float32)
+                M += rots_g[f].T @ rot_l[f - s]
+            if np.isfinite(M).all() and np.linalg.norm(M) > 1e-9:
+                U, _, Vt = np.linalg.svd(M)
+                rot_a = (U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt).astype(np.float32)
+            else:  # degenerate overlap rotation — keep previous alignment
+                report_warn(
+                    "chunked VO: degenerate overlap rotation at chunk start %d"
+                    " — using identity alignment", s,
+                )
+                rot_a = np.eye(3, dtype=np.float32)
             cl = np.stack([c_loc[f - s] for f in shared])
             cgl = centers_g[shared]
             d_loc = np.linalg.norm(np.diff(cl, axis=0), axis=1).sum()
@@ -545,7 +577,7 @@ def run_visual_odometry_chunked(
             if have[f]:
                 continue
             c = sc_a * rot_a @ c_loc[f - s] + t_a
-            rw = r.rotations_wc[f - s] @ rot_a.T
+            rw = rot_l[f - s] @ rot_a.T
             rots_g[f] = rw
             trans_g[f] = -rw @ c
             centers_g[f] = c
@@ -583,42 +615,36 @@ def popcount_u32(x: np.ndarray) -> np.ndarray:
     return _POP8[b].reshape(*x.shape, 4).sum(-1)
 
 
-def run_incremental_frontend(
-    images: jnp.ndarray,
+@dataclasses.dataclass(frozen=True)
+class _IncrementalJits:
+    """Jitted stages of the incremental front-end, cached per config.
+
+    Building these INSIDE run_incremental_frontend created fresh jax.jit
+    wrappers (fresh trace caches) per call — chunked VO then recompiled the
+    whole front-end for every chunk (measured ~59 s/chunk on the remote TPU
+    toolchain, 14x the actual solve time)."""
+
+    carry_step: object
+    compact_and_detect: object
+    first_frame: object
+
+
+@functools.lru_cache(maxsize=32)
+def _incremental_jits(
     detector_kind: str,
     needed_features: int,
     det_opts: DetectorOptions,
     brief_opts: BriefOptions,
-    search_radius: int = 16,
-    max_carry_hamming: int = 64,
-    carry_margin: int = 16,
-):
-    """Sequential Q9 front-end: frame-to-frame feature carrying + existing-
-    seeded top-up detection (the reference's incremental re-detection path,
-    feature_point_detector.cpp:12-16, UpdateMaskByFeatures at :90-98).
-
-    Per frame f:
-    1. CARRY: every feature of frame f-1 is re-located in frame f by a local
-       response-peak search (dynamic-slice window argmax, vmapped over slots)
-       and verified photometrically (BRIEF at the new position vs the old
-       descriptor, in-graph popcount);
-    2. TOP-UP: ``detect_good_features(frame_f, existing=carried)`` appends
-       fresh corners only outside the carried features' suppression squares —
-       the Q9 append-to-existing contract, so a tracked corner never loses an
-       NMS race to its own re-detection.
-
-    Returns (feats [F] Features, words [F, N, W], dvalid [F, N],
-    carry_links: list of (f-1, f, m) with m[prev_slot] = new_slot or -1) —
-    drop-in for the batch front-end plus guaranteed-continuity links.
-    """
+    search_radius: int,
+    max_carry_hamming: int,
+    carry_margin: int,
+) -> _IncrementalJits:
     from ..frontend.detector import detect_good_features
     from ..kernels import detect as KD
     from ..kernels.brief import brief_compute
 
     capacity = det_opts.max_features
-    n_frames = images.shape[0]
     win = 2 * search_radius + 1
-
     response_fns = {
         "harris": lambda im, m: KD.harris_response(im, m, det_opts),
         "shi_tomasi": lambda im, m: KD.shi_tomasi_response(im, m, det_opts),
@@ -630,7 +656,6 @@ def run_incremental_frontend(
             f"expected one of {sorted(response_fns)}"
         )
     response_fn = response_fns[detector_kind]
-
     n_peaks = 4
 
     @jax.jit
@@ -639,7 +664,7 @@ def run_incremental_frontend(
 
         The search window routinely contains SEVERAL response maxima (textured
         patches have many corners; a bare argmax locked onto the wrong one —
-        measured median carry Hamming 122/256 ≈ random).  Extract the top-4
+        measured median carry Hamming 122/256 ~= random).  Extract the top-4
         non-adjacent peaks per window and let the DESCRIPTOR choose: BRIEF at
         each peak, keep the minimum-Hamming one."""
         h, w = img.shape
@@ -701,6 +726,12 @@ def run_incremental_frontend(
             & (best_ham <= max_carry_hamming)
             & (best_ham + carry_margin <= second_ham)
         )
+        if det_opts.subpixel:
+            # Carried positions must match fresh detections' localization
+            # quality: the integer peak alone costs ~0.5 px and measurably
+            # degrades VO ATE (0.078 vs 0.012 on the 5-frame arc) — refine
+            # with the same quadratic fit the batch detector applies.
+            best_uv = KD.subpixel_refine(resp, best_uv, carried_ok)
         return best_uv, best_resp, carried_ok
 
     @jax.jit
@@ -726,6 +757,47 @@ def run_incremental_frontend(
         feats = detect_good_features(img, empty, detector_kind, needed_features, det_opts)
         words, dvalid = brief_compute(img, feats.uv, feats.valid, brief_opts)
         return feats, words, dvalid
+
+    return _IncrementalJits(carry_step, compact_and_detect, first_frame)
+
+
+def run_incremental_frontend(
+    images: jnp.ndarray,
+    detector_kind: str,
+    needed_features: int,
+    det_opts: DetectorOptions,
+    brief_opts: BriefOptions,
+    search_radius: int = 16,
+    max_carry_hamming: int = 64,
+    carry_margin: int = 16,
+):
+    """Sequential Q9 front-end: frame-to-frame feature carrying + existing-
+    seeded top-up detection (the reference's incremental re-detection path,
+    feature_point_detector.cpp:12-16, UpdateMaskByFeatures at :90-98).
+
+    Per frame f:
+    1. CARRY: every feature of frame f-1 is re-located in frame f by a local
+       response-peak search (dynamic-slice window argmax, vmapped over slots)
+       and verified photometrically (BRIEF at the new position vs the old
+       descriptor, in-graph popcount);
+    2. TOP-UP: ``detect_good_features(frame_f, existing=carried)`` appends
+       fresh corners only outside the carried features' suppression squares —
+       the Q9 append-to-existing contract, so a tracked corner never loses an
+       NMS race to its own re-detection.
+
+    Returns (feats [F] Features, words [F, N, W], dvalid [F, N],
+    carry_links: list of (f-1, f, m) with m[prev_slot] = new_slot or -1) —
+    drop-in for the batch front-end plus guaranteed-continuity links.
+    """
+    capacity = det_opts.max_features
+    n_frames = images.shape[0]
+    jits = _incremental_jits(
+        detector_kind, needed_features, det_opts, brief_opts,
+        search_radius, max_carry_hamming, carry_margin,
+    )
+    carry_step = jits.carry_step
+    compact_and_detect = jits.compact_and_detect
+    first_frame = jits.first_frame
 
     feats_list, words_list, dvalid_list, links = [], [], [], []
     f0 = first_frame(images[0])
@@ -753,6 +825,61 @@ def run_incremental_frontend(
     return feats, words, dvalid, links
 
 
+@functools.lru_cache(maxsize=32)
+def _batch_frontend_jit(detector_kind, needed_features, det_opts, brief_opts):
+    """Cached per-config jit of the batch front-end (fresh wrappers per VO
+    call recompiled per chunked-VO chunk — see _IncrementalJits)."""
+    from ..frontend.detector import detect_good_features
+    from ..kernels.brief import brief_compute
+
+    empty = Features.empty(det_opts.max_features)
+
+    @jax.jit
+    def frontend(stack):
+        feats = jax.vmap(
+            lambda im: detect_good_features(
+                im, empty, detector_kind, needed_features, det_opts
+            )
+        )(stack)
+        words, dvalid = jax.vmap(
+            lambda im, f: brief_compute(im, f.uv, f.valid, brief_opts)
+        )(stack, feats)
+        return feats, words, dvalid
+
+    return frontend
+
+
+@functools.lru_cache(maxsize=8)
+def _pair_ransac_jit(cam: Pinhole):
+    """Cached vmapped epipolar-RANSAC inlier gate over a stack of frame
+    pairs: ONE device dispatch per match offset instead of one per frame
+    pair — the sequential per-pair calls each paid a host-device round trip
+    (~25 ms on the tunneled chip), dominating chunked-VO wall clock."""
+
+    @jax.jit
+    def gate(uv_a, uv_b, valid):
+        return jax.vmap(
+            lambda a, b, v: geometry.two_view_init(
+                a, b, v, cam, cheirality_gate=False
+            )[3]
+        )(uv_a, uv_b, valid)
+
+    return gate
+
+
+@functools.lru_cache(maxsize=32)
+def _match_pairs_jit(match_opts):
+    from ..match.hamming import match_hamming
+
+    @jax.jit
+    def match_pairs(wa, va, wb, vb):
+        return jax.vmap(
+            lambda a, x, b, y: match_hamming(a, x, b, y, match_opts)
+        )(wa, va, wb, vb)
+
+    return match_pairs
+
+
 def run_visual_odometry(
     images: np.ndarray,
     cam: Pinhole,
@@ -767,7 +894,11 @@ def run_visual_odometry(
     mesh=None,
     max_track_obs: int = 6,
     max_reproj_px: float = 3.0,
-    incremental: bool = False,
+    # Q9 is the NORMAL mode of the reference's front-end (existing features
+    # seed the suppression mask, new detections append —
+    # feature_point_detector.cpp:12-16); the batch per-frame re-detection
+    # path stays available as incremental=False for A/B comparison.
+    incremental: bool = True,
     local_ba_window: int = 12,
 ) -> VOResult:
     """Monocular VO over a frame stack: the full configs[4] pipeline.
@@ -811,26 +942,12 @@ def run_visual_odometry(
             imgs, detector_kind, needed_features, det_opts, brief_opts
         )
     else:
-
-        @jax.jit
-        def frontend(stack):
-            feats = jax.vmap(
-                lambda im: detect_good_features(
-                    im, empty, detector_kind, needed_features, det_opts
-                )
-            )(stack)
-            words, dvalid = jax.vmap(
-                lambda im, f: brief_compute(im, f.uv, f.valid, brief_opts)
-            )(stack, feats)
-            return feats, words, dvalid
-
+        frontend = _batch_frontend_jit(
+            detector_kind, needed_features, det_opts, brief_opts
+        )
         feats, words, dvalid = frontend(imgs)
 
-    @jax.jit
-    def match_pairs(wa, va, wb, vb):
-        return jax.vmap(
-            lambda a, x, b, y: match_hamming(a, x, b, y, match_opts)
-        )(wa, va, wb, vb)
+    match_pairs = _match_pairs_jit(match_opts)
 
     uv_np = np.asarray(feats.uv)
     valid_np = np.asarray(feats.valid)
@@ -846,6 +963,7 @@ def run_visual_odometry(
     # couples inter-frame scale along the monocular chain — the dominant ATE
     # error mode.  Cap at 4 so long sequences stay O(F)·4 pairs, with each
     # pair one vmapped MXU matmul.
+    ransac_gate = _pair_ransac_jit(cam)
     for off in (1, 2, 3, 4):
         if n_frames <= off:
             continue
@@ -853,36 +971,33 @@ def run_visual_odometry(
             words[:-off], dvalid[:-off], words[off:], dvalid[off:]
         )
         midx = np.where(np.asarray(m.valid), np.asarray(m.index), -1)
-        # Per-pair epipolar RANSAC: keep only geometrically consistent
-        # matches (two_view_init's inlier mask) in the track graph.
+        # Per-pair epipolar RANSAC (two_view_init's inlier mask), batched
+        # over ALL frame pairs of this offset in one vmapped dispatch.
+        sel = np.clip(midx, 0, None)
+        uv_b_sel = uv_np[off:][np.arange(n_frames - off)[:, None], sel]
+        pair_valid = (midx >= 0) & valid_np[:-off]
+        inlier = np.asarray(ransac_gate(
+            jnp.asarray(uv_np[:-off]), jnp.asarray(uv_b_sel), jnp.asarray(pair_valid)
+        ))
         for f in range(n_frames - off):
-            i_f = midx[f]
-            sel = np.clip(i_f, 0, None)
-            pair_valid = jnp.asarray((i_f >= 0) & valid_np[f])
-            _, _, _, inlier = geometry.two_view_init(
-                jnp.asarray(uv_np[f]),
-                jnp.asarray(uv_np[f + off][sel]),
-                pair_valid,
-                cam,
-                cheirality_gate=False,
-            )
             pair_matches.append(
-                (f, f + off, np.where(np.asarray(inlier), i_f, -1))
+                (f, f + off, np.where(inlier[f], midx[f], -1))
             )
 
     # Carried-feature links from the incremental front-end join the track
     # graph through the same epipolar RANSAC gate as matcher pairs.
-    for fa, fb, m in carry_links:
-        sel = np.clip(m, 0, None)
-        pair_valid = jnp.asarray((m >= 0) & valid_np[fa])
-        _, _, _, inlier = geometry.two_view_init(
-            jnp.asarray(uv_np[fa]),
-            jnp.asarray(uv_np[fb][sel]),
-            pair_valid,
-            cam,
-            cheirality_gate=False,
-        )
-        pair_matches.append((fa, fb, np.where(np.asarray(inlier), m, -1)))
+    if carry_links:
+        link_m = np.stack([m for _, _, m in carry_links])          # [K, N]
+        fa_idx = np.asarray([fa for fa, _, _ in carry_links])
+        fb_idx = np.asarray([fb for _, fb, _ in carry_links])
+        sel = np.clip(link_m, 0, None)
+        uv_b_sel = uv_np[fb_idx][np.arange(len(carry_links))[:, None], sel]
+        pair_valid = (link_m >= 0) & valid_np[fa_idx]
+        inlier = np.asarray(ransac_gate(
+            jnp.asarray(uv_np[fa_idx]), jnp.asarray(uv_b_sel), jnp.asarray(pair_valid)
+        ))
+        for k, (fa, fb, m) in enumerate(carry_links):
+            pair_matches.append((fa, fb, np.where(inlier[k], m, -1)))
 
     tracks = _build_tracks(pair_matches, n_frames, det_opts.max_features)
 
