@@ -167,8 +167,10 @@ def demo_lines(img, out_dir):
 
 
 def demo_nn(img2, out_dir):
-    """test_nn_feature_point_detector.cpp flow (random-init weights; see
-    SURVEY.md H4 — checkpoint conversion via models/convert.py)."""
+    """test_nn_feature_point_detector.cpp flow.  Both models serve TRAINED
+    in-repo checkpoints by default (superpoint_synth.npz / disk_synth.npz,
+    models/train_superpoint.py / models/train_disk.py); public upstream
+    checkpoints convert via models/convert.py when available (SURVEY.md H4)."""
     import jax.numpy as jnp
 
     from ..core.config import NNDetectorOptions, NNModelType
@@ -176,8 +178,9 @@ def demo_nn(img2, out_dir):
     from ..frontend.nn_detector import NNFeaturePointDetector
     from ..io.images import CYAN, draw_solid_circle, save_image, to_rgb
 
-    rows = (img2.shape[0] // 8) * 8
-    cols = (img2.shape[1] // 8) * 8
+    # 16-divisible crop: SuperPoint needs /8, the DISK U-Net /16.
+    rows = (img2.shape[0] // 16) * 16
+    cols = (img2.shape[1] // 16) * 16
     img2 = img2[:rows, :cols]
     for mt in (NNModelType.SUPERPOINT_HEATMAP, NNModelType.DISK_HEATMAP):
         opts = NNDetectorOptions(

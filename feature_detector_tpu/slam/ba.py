@@ -210,6 +210,80 @@ def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, 
     return rot2, trans2, points + dp, dx_cam
 
 
+def _apply_dx(rot, trans, points, dx_cam, Hpp_inv, bp, W, valid, cam_idx):
+    """SE3 pose update + landmark back-substitution from a solved dx_cam
+    (the tail of `_solve_and_update`, shared with the CG-sharded path)."""
+    rot2, trans2 = se3_update(rot, trans, dx_cam)
+    dxc = dx_cam[cam_idx]
+    wtd = jnp.einsum("ldij,ldi->lj", W * valid[..., None, None], dxc)
+    dp = jnp.einsum("lij,lj->li", Hpp_inv, bp - wtd)
+    return rot2, trans2, points + dp
+
+
+def _gauge_damp_rows(S_rows, b_rows, row0, n6, lam, n_fixed):
+    """Gauge fix + LM damping on a ROW BLOCK of the reduced camera system.
+
+    Identical arithmetic to the replicated path in `_solve_and_update`
+    (freeze-first-k rows/cols to identity, diag *(1+lam) + 1e-6), expressed
+    per row-block so the system can live reduce-scattered across devices.
+    Rows with global index >= n6 are padding: zeroed with unit diagonal.
+    """
+    rows = S_rows.shape[0]
+    k = 6 * n_fixed
+    col_idx = jnp.arange(S_rows.shape[1], dtype=jnp.int32)
+    row_idx = row0 + jnp.arange(rows, dtype=jnp.int32)
+    fixed_c = col_idx < k
+    fixed_r = row_idx < k
+    pad_r = row_idx >= n6
+    S0 = jnp.where(fixed_r[:, None] | fixed_c[None, :] | pad_r[:, None], 0.0, S_rows)
+    is_diag = col_idx[None, :] == row_idx[:, None]
+    cur_diag = jnp.sum(S0 * is_diag, axis=1)
+    diag_fix = jnp.where(fixed_r | pad_r, 1.0, cur_diag)
+    final_diag = diag_fix * (1.0 + lam) + 1e-6
+    S1 = S0 * (1.0 - is_diag) + is_diag * final_diag[:, None]
+    b1 = jnp.where(fixed_r | pad_r, 0.0, b_rows)
+    return S1, b1, final_diag
+
+
+def _cg_solve_sharded(S_rows, b_rows, diag_rows, axis: str, iters: int):
+    """Jacobi-preconditioned CG on the camera-row-sharded reduced system.
+
+    Each device holds a row block; the matvec is a local [rows, n6] @ [n6]
+    product followed by a tiled all_gather — the keyframe/camera-axis
+    partitioning of SURVEY.md §2's parallelism table (the dense replicated
+    Cholesky stops making sense once 6C outgrows a chip's comfortable dense
+    solve, C in the hundreds).  All CG scalars are computed on replicated
+    vectors, so every device walks an identical trajectory with ONE
+    collective (the matvec gather) per iteration.
+    """
+    b = jax.lax.all_gather(b_rows, axis, tiled=True)
+    m_inv = 1.0 / jax.lax.all_gather(diag_rows, axis, tiled=True)
+
+    def matvec(x):
+        return jax.lax.all_gather(S_rows @ x, axis, tiled=True)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = m_inv * r0
+    p0 = z0
+    rz0 = jnp.dot(r0, z0)
+
+    def body(_, st):
+        x, r, z, p, rz = st
+        ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.dot(p, ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = m_inv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, _, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0, rz0))
+    return x
+
+
 def reprojection_cost(problem: BAProblem, cam: Pinhole, opts: BAOptions) -> jnp.ndarray:
     valid, r, _, _, w = _per_landmark_blocks(
         problem.rot, problem.trans, problem.points, problem.obs_cam, problem.obs_uv, cam, opts
@@ -525,10 +599,20 @@ def _ba_solve_impl(problem: BAProblem, cam: Pinhole, opts: BAOptions,
     return problem._replace(rot=rot, trans=trans, points=points)
 
 
-def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(), axis: str = "data"):
+def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(), axis: str = "data",
+                        camera_shard: bool = False, cg_iterations: int = 64):
     """Landmark-sharded BA: each device eliminates its landmark shard, the
     reduced camera system is psum-reduced over ICI, poses update replicated,
     landmarks update locally.
+
+    With ``camera_shard=True`` the CAMERA axis partitions too (SURVEY.md §2
+    parallelism table row 3, "keyframes and map blocks partitioned across
+    hosts"): the reduced 6C x 6C system is reduce-scattered row-block per
+    device (psum_scatter — no device ever materializes the full replicated
+    Hessian) and solved by Jacobi-preconditioned distributed CG
+    (``cg_iterations``) instead of a replicated dense solve.  Use for large
+    keyframe counts (C in the hundreds); the dense path is exact and faster
+    for small windows.
 
     Returns a jitted fn(problem) -> problem with ``points``/``obs_*`` sharded
     on their leading (landmark) axis over ``axis`` and poses replicated.
@@ -555,21 +639,44 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
                 S, b, Hpp_inv, bp, W, valid, cam_idx = _assemble(
                     rot, trans, points, obs_cam, obs_uv, cam, ropts, n_cams, obs_w
                 )
-                # Reduce the camera system over all landmark shards in ONE
-                # fused psum (S and b packed): every collective is a
-                # cross-device rendezvous, and at 2 per LM iteration the
-                # barrier count — not payload — bounded weak scaling on the
-                # virtual CPU mesh (measured 0.38 -> 0.51 efficiency from
-                # this fusion alone).
-                packed = jax.lax.psum(
-                    jnp.concatenate([S.reshape(-1), b]), axis
-                )
                 n6 = 6 * n_cams
-                S = packed[: n6 * n6].reshape(n6, n6)
-                b = packed[n6 * n6 :]
-                rot2, trans2, points2, _ = _solve_and_update(
-                    rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, ropts, lam
-                )
+                if camera_shard:
+                    # Keyframe/camera-axis partitioning: reduce-scatter the
+                    # system's ROW BLOCKS (each device receives only its
+                    # rows, summed over landmark shards) and solve by
+                    # distributed CG — no device holds the full Hessian.
+                    n_dev = mesh.shape[axis]
+                    n6p = ((n6 + n_dev - 1) // n_dev) * n_dev
+                    rows_loc = n6p // n_dev
+                    sys_rows = jnp.concatenate([S, b[:, None]], axis=1)
+                    sys_rows = jnp.pad(sys_rows, ((0, n6p - n6), (0, 0)))
+                    local = jax.lax.psum_scatter(
+                        sys_rows, axis, scatter_dimension=0, tiled=True
+                    )                                      # [rows_loc, n6+1]
+                    row0 = jax.lax.axis_index(axis) * rows_loc
+                    nf = max(1, min(opts.num_fixed_cameras, n_cams))
+                    S_loc, b_loc, diag_loc = _gauge_damp_rows(
+                        local[:, :n6], local[:, n6], row0, n6, lam, nf
+                    )
+                    dx = _cg_solve_sharded(S_loc, b_loc, diag_loc, axis, cg_iterations)
+                    dx_cam = dx[:n6].reshape(n_cams, 6)
+                    rot2, trans2, points2 = _apply_dx(
+                        rot, trans, points, dx_cam, Hpp_inv, bp, W, valid, cam_idx
+                    )
+                else:
+                    # Fused psum of S and b: every collective is a
+                    # cross-device rendezvous, and at 2 per LM iteration
+                    # the barrier count — not payload — bounded weak
+                    # scaling on the virtual CPU mesh (measured 0.38 ->
+                    # 0.51 efficiency from this fusion alone).
+                    packed = jax.lax.psum(
+                        jnp.concatenate([S.reshape(-1), b]), axis
+                    )
+                    S = packed[: n6 * n6].reshape(n6, n6)
+                    b = packed[n6 * n6 :]
+                    rot2, trans2, points2, _ = _solve_and_update(
+                        rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, ropts, lam
+                    )
                 new_cost = cost_r(rot2, trans2, points2)
                 accept = new_cost < cost
                 rot = jnp.where(accept, rot2, rot)

@@ -156,6 +156,32 @@ class TestBA:
 
 
 class TestPoseGraph:
+    def test_camera_sharded_cg_converges(self):
+        """Keyframe/camera-axis partitioning (P3): the reduced system is
+        reduce-scattered row-block per device and solved by distributed CG —
+        no device materializes the full Hessian.  Must converge on a problem
+        with C large enough that camera partitioning is meaningful."""
+        import jax
+        from feature_detector_tpu.parallel.mesh import make_mesh
+
+        rng = _rng(6)
+        gt = synthetic_ba(rng, n_cams=16, n_pts=256, deg=4)
+        noisy = perturb(gt, rng)
+        opts = BAOptions(max_iterations=15, damping=1e-6, huber_delta=1e9)
+        mesh = make_mesh((len(jax.devices()),), ("data",))
+        solver = make_distributed_ba(
+            mesh, CAM, opts, camera_shard=True, cg_iterations=96
+        )
+        solved = solver(noisy)
+        c0 = float(reprojection_cost(noisy, CAM, opts))
+        c1 = float(reprojection_cost(solved, CAM, opts))
+        assert c0 > 1.0, c0
+        assert c1 < 1e-2, (c0, c1)
+        # And it lands in the same basin as the exact dense solver.
+        dense = ba_solve(noisy, CAM, opts)
+        cd = float(reprojection_cost(dense, CAM, opts))
+        assert abs(c1 - cd) < 1e-2, (c1, cd)
+
     def test_loop_closure_converges(self):
         rng = _rng(6)
         # Ring of 8 poses with odometry + one loop-closure edge.
