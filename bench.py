@@ -270,7 +270,14 @@ def main():
             )
         )
         table["vo_frames_per_s"] = round(len(seq.images) / vo_dt, 2)
-        table["vo_ate_m"] = round(ate, 4)
+        # Monocular chunked VO is drift-limited (no loop closure): per-chunk
+        # scale error random-walks through the ~19 Sim(3) handoffs, so ATE
+        # lands at ~10-25% of the trajectory span run-to-run; a non-finite
+        # trajectory (chunk divergence) reports -1 rather than NaN.
+        table["vo_ate_m"] = round(ate, 4) if np.isfinite(ate) else -1.0
+        table["vo_span_m"] = round(
+            float(np.linalg.norm(gt.positions.max(0) - gt.positions.min(0))), 2
+        )
         table["vo_n_frames"] = len(seq.images)
     except Exception as e:  # pragma: no cover — VO row is best-effort
         table["vo_error"] = str(e)[:200]

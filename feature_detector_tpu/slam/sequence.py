@@ -536,6 +536,7 @@ def run_visual_odometry_chunked(
         c_loc = -np.einsum("fji,fj->fi", rot_l, tr_l)
         if s == 0:
             rot_a, t_a, sc_a = np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0
+            prev_sc = 1.0
         else:
             shared = [f for f in range(s, min(s + overlap, n)) if have[f]]
             # Sim(3) from FULL POSES, not centers alone: near-linear motion
@@ -561,17 +562,35 @@ def run_visual_odometry_chunked(
             d_loc = np.linalg.norm(np.diff(cl, axis=0), axis=1).sum()
             d_glob = np.linalg.norm(np.diff(cgl, axis=0), axis=1).sum()
             sc_a = float(d_glob / max(d_loc, 1e-9))
-            # A degenerate chunk solve can collapse the overlap baseline
-            # (d_loc -> 0: the PnP-gate failure mode), exploding sc_a and
-            # poisoning every downstream chunk.  Clamp to a sane band and
-            # fall back to unit scale when outside it.
-            if not np.isfinite(sc_a) or not (0.1 <= sc_a <= 10.0):
+            # Degeneracy guard.  NOT a range clamp: each monocular chunk
+            # carries an ARBITRARY internal scale (the two-view init gauges
+            # its baseline), so legitimate handoff ratios routinely sit far
+            # from 1 (measured 0.08 on the 120-frame lateral sequence — a
+            # [0.1, 10] clamp silently replaced it with 1 and blew up every
+            # downstream chunk).  Degenerate means the overlap motion has
+            # COLLAPSED relative to its own trajectory's typical per-frame
+            # motion — on either side of the handoff (the local side is the
+            # PnP-gate failure mode; the global side means the PREVIOUS
+            # chunk's tail froze).  Fall back to the previous handoff's
+            # scale (scale continuity), not to 1.
+            n_int = max(len(shared) - 1, 1)
+            typ_loc = float(
+                np.median(np.linalg.norm(np.diff(c_loc, axis=0), axis=1))
+            )
+            g_lo = max(0, s - chunk)
+            g_steps = np.linalg.norm(np.diff(centers_g[g_lo:s + 1], axis=0), axis=1)
+            typ_glob = float(np.median(g_steps)) if len(g_steps) else 0.0
+            bad_loc = d_loc < 0.2 * typ_loc * n_int
+            bad_glob = typ_glob > 0 and d_glob < 0.2 * typ_glob * n_int
+            if not np.isfinite(sc_a) or bad_loc or bad_glob:
                 report_warn(
-                    "chunked VO: degenerate overlap scale %.3g (d_loc=%.3g, "
-                    "d_glob=%.3g) at chunk start %d — falling back to sc=1",
-                    sc_a, d_loc, d_glob, s,
+                    "chunked VO: degenerate overlap (d_loc=%.3g/typ %.3g, "
+                    "d_glob=%.3g/typ %.3g) at chunk start %d — reusing "
+                    "previous scale %.3g",
+                    d_loc, typ_loc, d_glob, typ_glob, s, prev_sc,
                 )
-                sc_a = 1.0
+                sc_a = prev_sc
+            prev_sc = sc_a
             t_a = (cgl - sc_a * cl @ rot_a.T).mean(0).astype(np.float32)
         for f in range(s, e):
             if have[f]:
