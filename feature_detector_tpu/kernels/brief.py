@@ -102,6 +102,31 @@ def _moment_weights():
     return w.reshape(-1, 2)
 
 
+@functools.lru_cache(maxsize=8)
+def _gauss_kernel(sigma: float):
+    radius = int(np.ceil(2.5 * sigma))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-x * x / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _preblur(img_f32: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur (SAME padding), output rounded to integers so
+    downstream bf16 one-hot contractions stay exact (see BriefOptions.blur_sigma)."""
+    if sigma <= 0.0:
+        return img_f32
+    k = jnp.asarray(_gauss_kernel(sigma))
+    r = (k.shape[0] - 1) // 2
+    x = img_f32[None, None]                                 # [1, 1, H, W]
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), [(0, 0), (r, r)]
+    )
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, :, None], (1, 1), [(r, r), (0, 0)]
+    )
+    return jnp.round(x[0, 0])
+
+
 def _pack_words(bits: jnp.ndarray, opts: BriefOptions) -> jnp.ndarray:
     """[N, length] {0,1} -> [N, words] uint32; bit j of word w = test 32*w+j."""
     n = bits.shape[0]
@@ -128,10 +153,12 @@ def brief_compute_mxu(
     anywhere (u8 values and +/-1 weights are exact in bf16; accumulation is
     f32).
     """
-    img = image.astype(jnp.float32)
+    img = _preblur(image.astype(jnp.float32), opts.blur_sigma)
     rows, cols = image.shape
     n = uv.shape[0]
-    length, bins = opts.length, opts.steer_bins
+    # Upright mode: a single bin at angle 0 — the steering moments are
+    # skipped entirely (see BriefOptions.upright).
+    length, bins = opts.length, (1 if opts.upright else opts.steer_bins)
 
     x = jnp.round(uv[:, 0]).astype(jnp.int32)
     y = jnp.round(uv[:, 1]).astype(jnp.int32)
@@ -166,15 +193,19 @@ def brief_compute_mxu(
         preferred_element_type=jnp.float32,
     ).reshape(n, PATCH * PATCH)
 
-    # Exact f32 moments (products <= 8*255 and ~300k-scale sums are exact).
-    m = patches @ jnp.asarray(_moment_weights())  # [N, 2] = (m10, m01)
-    m10, m01 = m[:, 0], m[:, 1]
-    norm = jnp.sqrt(m10 * m10 + m01 * m01)
-    ok_moment = norm >= K_ZERO_FLOAT
-    theta = jnp.arctan2(m01, m10)
-    bin_idx = jnp.mod(
-        jnp.round(theta * (bins / (2.0 * jnp.pi))).astype(jnp.int32), bins
-    )
+    if opts.upright:
+        ok_moment = jnp.ones(n, bool)
+        bin_idx = jnp.zeros(n, jnp.int32)
+    else:
+        # Exact f32 moments (products <= 8*255, ~300k-scale sums are exact).
+        m = patches @ jnp.asarray(_moment_weights())  # [N, 2] = (m10, m01)
+        m10, m01 = m[:, 0], m[:, 1]
+        norm = jnp.sqrt(m10 * m10 + m01 * m01)
+        ok_moment = norm >= K_ZERO_FLOAT
+        theta = jnp.arctan2(m01, m10)
+        bin_idx = jnp.mod(
+            jnp.round(theta * (bins / (2.0 * jnp.pi))).astype(jnp.int32), bins
+        )
 
     # ONE matmul computes I(p2)-I(p1) for every (bin, test); exact in bf16.
     d_all = jnp.asarray(_build_sampling_matrix(length, bins), jnp.bfloat16)
@@ -213,7 +244,7 @@ def brief_compute_gather(
     False for empty slots, out-of-border features, and zero-moment patches;
     their descriptors are all-zero (matching the reference's silent behavior).
     """
-    img = image.astype(jnp.float32)
+    img = _preblur(image.astype(jnp.float32), opts.blur_sigma)
     rows, cols = image.shape
     n = uv.shape[0]
     length = opts.length
@@ -235,14 +266,21 @@ def brief_compute_gather(
     dxg, dyg = np.meshgrid(d, d, indexing="xy")
     dxg = jnp.asarray(dxg.reshape(-1))
     dyg = jnp.asarray(dyg.reshape(-1))
-    patch = bilinear_sample(img, ys[:, None] + dyg[None, :], xs[:, None] + dxg[None, :])
-    m10 = jnp.sum(dxg[None, :] * patch, axis=1)
-    m01 = jnp.sum(dyg[None, :] * patch, axis=1)
-    m = jnp.sqrt(m01 * m01 + m10 * m10)
-    ok_moment = m >= K_ZERO_FLOAT
-    m_safe = jnp.where(ok_moment, m, 1.0)
-    sin_t = m01 / m_safe
-    cos_t = m10 / m_safe
+    if opts.upright:
+        ok_moment = jnp.ones(n, bool)
+        sin_t = jnp.zeros(n, jnp.float32)
+        cos_t = jnp.ones(n, jnp.float32)
+    else:
+        patch = bilinear_sample(
+            img, ys[:, None] + dyg[None, :], xs[:, None] + dxg[None, :]
+        )
+        m10 = jnp.sum(dxg[None, :] * patch, axis=1)
+        m01 = jnp.sum(dyg[None, :] * patch, axis=1)
+        m = jnp.sqrt(m01 * m01 + m10 * m10)
+        ok_moment = m >= K_ZERO_FLOAT
+        m_safe = jnp.where(ok_moment, m, 1.0)
+        sin_t = m01 / m_safe
+        cos_t = m10 / m_safe
 
     # Rotate the test pairs and sample (descriptor_brief.cpp:38-47).
     pat = jnp.asarray(BRIEF_PATTERN[:length].astype(np.float32))

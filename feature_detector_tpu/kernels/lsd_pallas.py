@@ -138,23 +138,33 @@ def propagate_running_pallas(
         jax.ShapeDtypeStruct((rp, cp), jnp.float32),
         jax.ShapeDtypeStruct((rp, cp), jnp.float32),
     ]
-    n_calls = max(1, (total_sweeps + chunk - 1) // chunk)
-    per_call = (total_sweeps + n_calls - 1) // n_calls
-    call = pl.pallas_call(
-        functools.partial(_sweep_kernel, n_sweeps=per_call, tol=tol, big=big),
-        out_shape=shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
-        compiler_params=pltpu.CompilerParams(
-            # 6 persistent (488, 768) f32 planes + the 8-direction rolled
-            # temporaries peak ~40 MB — above the 16 MB default scoped-vmem
-            # cap but well inside v5e's physical VMEM.
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )
-    for _ in range(n_calls):
+    # Exactly ``total_sweeps`` in chunk-sized calls plus one remainder call —
+    # ceil-division per_call would OVERSHOOT when chunk does not divide the
+    # total (e.g. 330 -> 352 sweeps), breaking the label-for-label parity
+    # contract with the XLA path.  At most two distinct kernel shapes compile.
+    def _make_call(n_sweeps: int):
+        return pl.pallas_call(
+            functools.partial(_sweep_kernel, n_sweeps=n_sweeps, tol=tol, big=big),
+            out_shape=shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+            compiler_params=pltpu.CompilerParams(
+                # 6 persistent (488, 768) f32 planes + the 8-direction rolled
+                # temporaries peak ~40 MB — above the 16 MB default scoped-vmem
+                # cap but well inside v5e's physical VMEM.
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )
+
+    full, rem = divmod(total_sweeps, chunk)
+    call = _make_call(chunk) if full else None
+    for _ in range(full):
         pri, seed, gang, cnt = call(angle_p, validf, pri, seed, gang, cnt)
+    if rem:
+        pri, seed, gang, cnt = _make_call(rem)(
+            angle_p, validf, pri, seed, gang, cnt
+        )
 
     # Back to original-grid flat labels.
     core = seed[1 : 1 + g_rows, 1 : 1 + g_cols]

@@ -90,9 +90,17 @@ def match_hamming(
             jnp.where(d == bi[None, :], jnp.arange(na, dtype=jnp.int32)[:, None], na),
             axis=0,
         ).astype(jnp.int32)
-        # best_i_for_b[best_j] without a gather: one-hot contraction.
+        # best_i_for_b[best_j] without a gather: one-hot contraction.  MUST
+        # run at HIGHEST precision: the TPU default routes f32 matmuls
+        # through bf16 passes, whose 8-bit mantissa makes integer indices
+        # above 256 inexact — the cross-check would silently corrupt for
+        # max_features > 256.
         bi_of_bj = (
-            is_best.astype(jnp.float32) @ best_i_for_b.astype(jnp.float32)
+            jnp.dot(
+                is_best.astype(jnp.float32),
+                best_i_for_b.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         ).astype(jnp.int32)
         ok &= bi_of_bj == jnp.arange(na, dtype=jnp.int32)
 

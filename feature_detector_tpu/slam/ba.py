@@ -226,7 +226,10 @@ def _gauge_damp_rows(S_rows, b_rows, row0, n6, lam, n_fixed):
     Identical arithmetic to the replicated path in `_solve_and_update`
     (freeze-first-k rows/cols to identity, diag *(1+lam) + 1e-6), expressed
     per row-block so the system can live reduce-scattered across devices.
-    Rows with global index >= n6 are padding: zeroed with unit diagonal.
+    ``S_rows`` is [rows_loc, n6p] with BOTH axes padded to the device-count
+    multiple n6p; rows and columns with global index >= n6 are padding —
+    zeroed with a unit diagonal so the Jacobi preconditioner stays finite
+    and CG drives their solution components to exactly 0.
     """
     rows = S_rows.shape[0]
     k = 6 * n_fixed
@@ -648,15 +651,22 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
                     n_dev = mesh.shape[axis]
                     n6p = ((n6 + n_dev - 1) // n_dev) * n_dev
                     rows_loc = n6p // n_dev
-                    sys_rows = jnp.concatenate([S, b[:, None]], axis=1)
+                    # Pad BOTH axes to n6p (zero columns for the pad block):
+                    # the CG vectors are all-gathered to length n6p, so the
+                    # local matvec needs [rows_loc, n6p] row blocks — with
+                    # columns left at n6, any device count that does not
+                    # divide 6*n_cams failed at trace time (dot_general
+                    # contracting-dimension mismatch).
+                    S_pad = jnp.pad(S, ((0, 0), (0, n6p - n6)))
+                    sys_rows = jnp.concatenate([S_pad, b[:, None]], axis=1)
                     sys_rows = jnp.pad(sys_rows, ((0, n6p - n6), (0, 0)))
                     local = jax.lax.psum_scatter(
                         sys_rows, axis, scatter_dimension=0, tiled=True
-                    )                                      # [rows_loc, n6+1]
+                    )                                      # [rows_loc, n6p+1]
                     row0 = jax.lax.axis_index(axis) * rows_loc
                     nf = max(1, min(opts.num_fixed_cameras, n_cams))
                     S_loc, b_loc, diag_loc = _gauge_damp_rows(
-                        local[:, :n6], local[:, n6], row0, n6, lam, nf
+                        local[:, :n6p], local[:, n6p], row0, n6, lam, nf
                     )
                     dx = _cg_solve_sharded(S_loc, b_loc, diag_loc, axis, cg_iterations)
                     dx_cam = dx[:n6].reshape(n_cams, 6)

@@ -412,6 +412,72 @@ def _build_tracks(
     return tracks
 
 
+def build_tracks_conflict_free(
+    pair_matches: List[Tuple[int, int, np.ndarray]],
+    n_frames: int,
+    n_feats: int,
+    min_length: int = 2,
+) -> List[List[Tuple[int, int]]]:
+    """Conflict-REJECTING union-find over (frame, feature) nodes.
+
+    `_build_tracks` drops any component that ends up holding two features of
+    the same frame — but with edges from 4 match offsets plus carry links,
+    ONE wrong match merges two real tracks and destroys both, and the longest
+    tracks (most edges) are the most exposed: on a 30-frame sequence the
+    track-length p50 collapsed to 2 and no track spanned a 10-frame chunk,
+    starving both the init-pair choice and the cross-chunk constraints the
+    global BA needs.
+
+    Here each root carries a frame-occupancy BITMASK (arbitrary-precision
+    int); a union that would put two observations in the same frame is
+    REJECTED — the (likely wrong) edge is dropped and both tracks survive.
+    Callers order ``pair_matches`` most-trustworthy-first (carry links, then
+    ascending match offset): earlier edges claim the merge, later
+    contradicting edges bounce off.
+    """
+    parent = np.arange(n_frames * n_feats, dtype=np.int64)
+    fmask: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    touched = set()
+    for fa, fb, idx in pair_matches:
+        base_a = fa * n_feats
+        base_b = fb * n_feats
+        for i, j in enumerate(idx):
+            if j < 0:
+                continue
+            na = base_a + i
+            nb = base_b + int(j)
+            touched.add(na)
+            touched.add(nb)
+            ra, rb = find(na), find(nb)
+            if ra == rb:
+                continue
+            ma = fmask.get(ra, 1 << fa)
+            mb = fmask.get(rb, 1 << fb)
+            if ma & mb:
+                continue  # would place two features in one frame: reject edge
+            parent[rb] = ra
+            fmask[ra] = ma | mb
+            fmask.pop(rb, None)
+
+    groups: dict = {}
+    for node in touched:
+        groups.setdefault(find(node), []).append(node)
+    tracks: List[List[Tuple[int, int]]] = []
+    for nodes in groups.values():
+        if len(nodes) >= min_length:
+            tracks.append(sorted((n // n_feats, n % n_feats) for n in nodes))
+    return tracks
+
+
 def _pick_init_pair(
     tracks, uv_np, cam, n_frames, max_features, min_inliers=15
 ):
@@ -464,7 +530,84 @@ def _pick_init_pair(
     raise ValueError("two-view initialization failed: no pair with enough inliers")
 
 
+def sanitize_chunk_poses(
+    rot_l: np.ndarray, tr_l: np.ndarray, chunk_start: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Replace non-finite chunk poses by holding the last finite pose.
+
+    A chunk solve may emit non-finite poses outright (degenerate
+    registration); the Sim(3) composition must never see NaNs (the chordal-
+    mean SVD throws LinAlgError and kills the whole sequence).  Frames with
+    no finite predecessor fall back to identity."""
+    rot_l = np.array(rot_l, np.float32)
+    tr_l = np.array(tr_l, np.float32)
+    bad = ~(
+        np.isfinite(rot_l).all(axis=(1, 2)) & np.isfinite(tr_l).all(axis=1)
+    )
+    if bad.any():
+        report_warn(
+            "chunked VO: %d non-finite chunk poses at chunk start %d — "
+            "holding last finite pose", int(bad.sum()), chunk_start,
+        )
+        for f in range(len(rot_l)):
+            if bad[f]:
+                src = f - 1
+                while src >= 0 and bad[src]:
+                    src -= 1
+                if src >= 0:
+                    rot_l[f], tr_l[f] = rot_l[src], tr_l[src]
+                else:
+                    rot_l[f] = np.eye(3, dtype=np.float32)
+                    tr_l[f] = 0.0
+    return rot_l, tr_l
+
+
 def run_visual_odometry_chunked(
+    images: np.ndarray,
+    cam: Pinhole,
+    chunk: int = 10,
+    overlap: int = 4,
+    legacy: bool = False,
+    **kwargs,
+) -> VOResult:
+    """Long-sequence VO by SUBMAPPING (see vo_fused for the default path).
+
+    Default: the FUSED pipeline (slam/vo_fused.py) — one-dispatch scan
+    front-end, global track graph, all chunk solves vmapped in one
+    dispatch, Sim(3) composition, pose-graph refinement, and a global BA
+    over the merged cross-chunk tracks.  ~15 device dispatches for any
+    sequence length and drift bounded by bundle adjustment instead of
+    multiplicative handoff scale error.
+
+    ``legacy=True`` selects the r04 host-sequential submapping path
+    (each chunk solved by run_visual_odometry, composed by Sim(3) overlap
+    fits only) — kept for A/B comparison.
+    """
+    n = len(images)
+    if n <= chunk:
+        return run_visual_odometry(images, cam, **kwargs)
+    if not legacy:
+        import inspect
+
+        from .vo_fused import run_visual_odometry_fused
+
+        allowed = set(inspect.signature(run_visual_odometry_fused).parameters)
+        fused_kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+        dropped = sorted(set(kwargs) - set(fused_kwargs))
+        if dropped:
+            report_warn(
+                "chunked VO: legacy-only kwargs ignored by fused path: %s",
+                ", ".join(dropped),
+            )
+        return run_visual_odometry_fused(
+            images, cam, chunk=chunk, overlap=overlap, **fused_kwargs
+        )
+    return _run_visual_odometry_chunked_legacy(
+        images, cam, chunk=chunk, overlap=overlap, **kwargs
+    )
+
+
+def _run_visual_odometry_chunked_legacy(
     images: np.ndarray,
     cam: Pinhole,
     chunk: int = 10,
@@ -509,30 +652,7 @@ def run_visual_odometry_chunked(
         total_tracks += r.num_tracks
         if r.mean_track_length:
             lens.append(r.mean_track_length)
-        # A chunk solve may emit non-finite poses outright (degenerate
-        # registration); sanitize by holding the last finite pose so the
-        # Sim(3) composition below never sees NaNs (observed: the chordal
-        # chordal-mean SVD throws LinAlgError and kills the whole sequence).
-        rot_l = np.array(r.rotations_wc, np.float32)
-        tr_l = np.array(r.translations_wc, np.float32)
-        bad = ~(
-            np.isfinite(rot_l).all(axis=(1, 2)) & np.isfinite(tr_l).all(axis=1)
-        )
-        if bad.any():
-            report_warn(
-                "chunked VO: %d non-finite chunk poses at chunk start %d — "
-                "holding last finite pose", int(bad.sum()), s,
-            )
-            for f in range(len(rot_l)):
-                if bad[f]:
-                    src = f - 1
-                    while src >= 0 and bad[src]:
-                        src -= 1
-                    if src >= 0:
-                        rot_l[f], tr_l[f] = rot_l[src], tr_l[src]
-                    else:
-                        rot_l[f] = np.eye(3, np.float32)
-                        tr_l[f] = 0.0
+        rot_l, tr_l = sanitize_chunk_poses(r.rotations_wc, r.translations_wc, s)
         c_loc = -np.einsum("fji,fj->fi", rot_l, tr_l)
         if s == 0:
             rot_a, t_a, sc_a = np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0
@@ -648,8 +768,7 @@ class _IncrementalJits:
     first_frame: object
 
 
-@functools.lru_cache(maxsize=32)
-def _incremental_jits(
+def _incremental_bodies(
     detector_kind: str,
     needed_features: int,
     det_opts: DetectorOptions,
@@ -657,7 +776,11 @@ def _incremental_jits(
     search_radius: int,
     max_carry_hamming: int,
     carry_margin: int,
-) -> _IncrementalJits:
+):
+    """Unjitted per-frame bodies of the Q9 incremental front-end, shared by
+    the host-sequential driver (`_incremental_jits`) and the in-graph
+    `lax.scan` front-end (`scan_frontend_jit` — the whole-sequence
+    one-dispatch path of the fused VO pipeline)."""
     from ..frontend.detector import detect_good_features
     from ..kernels import detect as KD
     from ..kernels.brief import brief_compute
@@ -677,7 +800,6 @@ def _incremental_jits(
     response_fn = response_fns[detector_kind]
     n_peaks = 4
 
-    @jax.jit
     def carry_step(img_prev_words, img, prev):
         """(prev Features, prev words) -> carried Features + verification.
 
@@ -753,7 +875,6 @@ def _incremental_jits(
             best_uv = KD.subpixel_refine(resp, best_uv, carried_ok)
         return best_uv, best_resp, carried_ok
 
-    @jax.jit
     def compact_and_detect(img, uv, resp, ok):
         """Compact carried features into a prefix (the existing-features
         contract expects count = len(valid prefix)), then Q9 top-up."""
@@ -771,13 +892,94 @@ def _incremental_jits(
 
     empty = Features.empty(capacity)
 
-    @jax.jit
     def first_frame(img):
         feats = detect_good_features(img, empty, detector_kind, needed_features, det_opts)
         words, dvalid = brief_compute(img, feats.uv, feats.valid, brief_opts)
         return feats, words, dvalid
 
-    return _IncrementalJits(carry_step, compact_and_detect, first_frame)
+    return carry_step, compact_and_detect, first_frame
+
+
+@functools.lru_cache(maxsize=32)
+def _incremental_jits(
+    detector_kind: str,
+    needed_features: int,
+    det_opts: DetectorOptions,
+    brief_opts: BriefOptions,
+    search_radius: int,
+    max_carry_hamming: int,
+    carry_margin: int,
+) -> _IncrementalJits:
+    carry_step, compact_and_detect, first_frame = _incremental_bodies(
+        detector_kind, needed_features, det_opts, brief_opts,
+        search_radius, max_carry_hamming, carry_margin,
+    )
+    return _IncrementalJits(
+        jax.jit(carry_step), jax.jit(compact_and_detect), jax.jit(first_frame)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def scan_frontend_jit(
+    detector_kind: str,
+    needed_features: int,
+    det_opts: DetectorOptions,
+    brief_opts: BriefOptions,
+    search_radius: int = 16,
+    max_carry_hamming: int = 64,
+    carry_margin: int = 16,
+):
+    """Whole-sequence Q9 incremental front-end as ONE jitted `lax.scan`.
+
+    The host-sequential driver (`run_incremental_frontend`) pays 2+ device
+    dispatches and 2 device-to-host copies PER FRAME — on a tunneled TPU
+    (~25 ms RTT per sync) that alone caps VO at a few frames/s.  Scanning the
+    identical per-frame bodies in-graph makes the full front-end one dispatch
+    for any sequence length: frame-to-frame carrying stays sequential (the
+    algorithm is sequential) but never leaves the chip.
+
+    Returns jitted fn(images [F, H, W]) ->
+      (feats stacked over frames, words [F, N, W], dvalid [F, N],
+       links [F-1, N] int32: links[f, i] = slot of frame-f feature i carried
+       TO frame f+1 (or -1) — same contract as run_incremental_frontend's
+       carry_links, stacked).
+    """
+    capacity = det_opts.max_features
+    carry_step, compact_and_detect, first_frame = _incremental_bodies(
+        detector_kind, needed_features, det_opts, brief_opts,
+        search_radius, max_carry_hamming, carry_margin,
+    )
+
+    @jax.jit
+    def frontend(images):
+        f0, w0, d0 = first_frame(images[0])
+
+        def step(carry, img):
+            prev_feats, prev_words = carry
+            peak_uv, peak_resp, ok = carry_step(prev_words, img, prev_feats)
+            feats, words, dvalid, order = compact_and_detect(
+                img, peak_uv, peak_resp, ok
+            )
+            # Link map in-graph: prev slot -> its compacted position.
+            new_slot_of = (
+                jnp.zeros(capacity, jnp.int32)
+                .at[order]
+                .set(jnp.arange(capacity, dtype=jnp.int32))
+            )
+            link = jnp.where(ok, new_slot_of, -1)
+            return (feats, words), (feats, words, dvalid, link)
+
+        (_, _), (feats_r, words_r, dvalid_r, links) = jax.lax.scan(
+            step, (f0, w0), images[1:]
+        )
+        feats = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b]), f0, feats_r
+        )
+        words = jnp.concatenate([w0[None], words_r])
+        dvalid = jnp.concatenate([d0[None], dvalid_r])
+        return feats, words, dvalid, links
+
+    return frontend
 
 
 def run_incremental_frontend(
@@ -905,6 +1107,10 @@ def run_visual_odometry(
     detector_kind: str = "harris",
     needed_features: int = 200,
     det_opts: Optional[DetectorOptions] = None,
+    # NOTE: the fused long-sequence pipeline (vo_fused) defaults to upright
+    # pre-blurred descriptors instead — a large repeatability win there.
+    # This short-window path keeps the steered defaults its carry gates and
+    # thresholds were calibrated against.
     brief_opts: BriefOptions = BriefOptions(),
     match_opts: MatcherOptions = MatcherOptions(ratio=0.85),
     ba_opts: BAOptions = BAOptions(

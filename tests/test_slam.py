@@ -156,16 +156,22 @@ class TestBA:
 
 
 class TestPoseGraph:
-    def test_camera_sharded_cg_converges(self):
+    @pytest.mark.parametrize("n_cams", [16, 13])
+    def test_camera_sharded_cg_converges(self, n_cams):
         """Keyframe/camera-axis partitioning (P3): the reduced system is
         reduce-scattered row-block per device and solved by distributed CG —
         no device materializes the full Hessian.  Must converge on a problem
-        with C large enough that camera partitioning is meaningful."""
+        with C large enough that camera partitioning is meaningful.
+
+        n_cams=13 exercises the NON-DIVISIBLE case (6*13 = 78 rows over 8
+        devices -> padded to 80): both axes of the reduced system pad to the
+        device multiple, which a column-padding bug previously broke at
+        trace time (ADVICE r4 #1)."""
         import jax
         from feature_detector_tpu.parallel.mesh import make_mesh
 
         rng = _rng(6)
-        gt = synthetic_ba(rng, n_cams=16, n_pts=256, deg=4)
+        gt = synthetic_ba(rng, n_cams=n_cams, n_pts=256, deg=4)
         noisy = perturb(gt, rng)
         opts = BAOptions(max_iterations=15, damping=1e-6, huber_delta=1e9)
         mesh = make_mesh((len(jax.devices()),), ("data",))

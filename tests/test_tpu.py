@@ -85,6 +85,14 @@ _TPU_SCRIPT = textwrap.dedent(
         nrm, ang, vld, lopts.propagation_steps,
         lopts.min_tolerance_angle_residual_in_rad)
     out["lsd_pallas_equal"] = bool(jnp.array_equal(lab_xla, lab_pal))
+    # Non-divisible sweep count (ADVICE r4 #4): the chunked pallas driver
+    # must run EXACTLY total_sweeps (remainder in a final short call), not
+    # ceil-divide past it — parity at 330 sweeps vs the XLA path.
+    lab_xla_nd = jax.jit(lambda n, a, v: KL.propagate_labels_meanangle(
+        n, a, v, lopts, schedule=(("R", 330),)))(nrm, ang, vld)
+    lab_pal_nd = propagate_running_pallas(
+        nrm, ang, vld, 330, lopts.min_tolerance_angle_residual_in_rad)
+    out["lsd_pallas_equal_nondiv"] = bool(jnp.array_equal(lab_xla_nd, lab_pal_nd))
     lines = detect_good_lines(jnp.asarray(full_img), 100)
     out["lsd_n_lines"] = int(jnp.sum(lines.valid))
 
@@ -139,6 +147,7 @@ def test_lsd_pallas_parity_on_chip(tpu_results):
     # The Mosaic VMEM flood must equal the XLA stencil path label-for-label
     # on the real image, compiled for the real chip.
     assert tpu_results["lsd_pallas_equal"] is True
+    assert tpu_results["lsd_pallas_equal_nondiv"] is True
     assert tpu_results["lsd_n_lines"] >= 25
 
 
