@@ -47,6 +47,11 @@ def _load() -> ctypes.CDLL:
     lib.fd_brief_compute.argtypes = [u8p, c, c, f32p, c, i16p, c, c, u32p, u8p]
     lib.fd_hamming_match.restype = None
     lib.fd_hamming_match.argtypes = [u32p, u8p, c, u32p, u8p, c, c, c, c, i32p, i32p]
+    lib.fd_lsd_detect.restype = c
+    lib.fd_lsd_detect.argtypes = [
+        u8p, c, c, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, f32p, c,
+    ]
     _lib = lib
     return lib
 
@@ -106,6 +111,28 @@ def brief_compute(
         out_words, out_valid,
     )
     return out_words, out_valid.astype(bool)
+
+
+def lsd_detect(
+    image: np.ndarray,
+    min_grad_norm: float = 20.0,
+    tol_rad: float = 22.5 * np.pi / 180.0,
+    min_length: float = 20.0,
+    min_inlier_ratio: float = 0.6,
+    max_out: int = 1024,
+) -> np.ndarray:
+    """LSD line segments (single-thread CPU reference engine; same semantics
+    as oracle/lsd.py).  Returns [N, 4] float32 (x1, y1, x2, y2)."""
+    lib = _load()
+    image = np.ascontiguousarray(image, np.uint8)
+    out = np.zeros((max_out, 4), np.float32)
+    n = lib.fd_lsd_detect(
+        image, image.shape[0], image.shape[1],
+        ctypes.c_float(min_grad_norm), ctypes.c_float(tol_rad),
+        ctypes.c_float(min_length), ctypes.c_float(min_inlier_ratio),
+        out, max_out,
+    )
+    return out[:n].copy()
 
 
 def hamming_match(

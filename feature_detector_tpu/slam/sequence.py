@@ -132,6 +132,26 @@ def load_euroc_groundtruth(path: str) -> Trajectory:
     )
 
 
+def save_euroc_groundtruth(path: str, traj: Trajectory) -> None:
+    """Write the EuRoC ASL state-groundtruth csv header + rows (the format
+    `load_euroc_groundtruth` parses): nanosecond timestamps, position,
+    w-first quaternion."""
+    q_xyzw = rot_to_quat(traj.rotations)
+    with open(path, "w") as f:
+        f.write(
+            "#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], "
+            "q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z []\n"
+        )
+        for i in range(len(traj)):
+            p = traj.positions[i]
+            q = q_xyzw[i]
+            f.write(
+                f"{int(round(traj.timestamps[i] * 1e9))},"
+                f"{p[0]:.6f},{p[1]:.6f},{p[2]:.6f},"
+                f"{q[3]:.6f},{q[0]:.6f},{q[1]:.6f},{q[2]:.6f}\n"
+            )
+
+
 def associate(ts_a: np.ndarray, ts_b: np.ndarray, max_dt: float = 0.02):
     """Nearest-timestamp association (TUM protocol); returns index pairs."""
     j = np.searchsorted(ts_b, ts_a)

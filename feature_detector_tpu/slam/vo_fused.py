@@ -451,6 +451,19 @@ def run_visual_odometry_fused(
         scan_frontend_jit,
     )
 
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("FD_VO_TIME"))
+    _t0 = _time.perf_counter()
+
+    def _mark(tag):
+        nonlocal _t0
+        if _timing:
+            t = _time.perf_counter()
+            print(f"[vo_fused] {tag}: {t - _t0:.2f}s", flush=True)
+            _t0 = t
+
     if det_opts is None:
         det_opts = DetectorOptions(
             min_feature_distance=10,
@@ -468,6 +481,7 @@ def run_visual_odometry_fused(
     uv_np = np.asarray(feats.uv)
     valid_np = np.asarray(feats.valid)
     links_np = np.asarray(links)
+    _mark("frontend")
 
     # --- 2. matching + epipolar gate, a handful of dispatches -------------
     # Edge order matters for the conflict-rejecting track builder: most
@@ -509,10 +523,13 @@ def run_visual_odometry_fused(
         for f in range(n - off):
             pair_matches.append((f, f + off, np.where(inlier[f], midx[f], -1)))
 
+    _mark("match+gate")
+
     # --- 3. global track graph (conflict-rejecting union-find on host:
     # tracks cross chunk boundaries, and a wrong match drops one edge
     # instead of destroying whole tracks) ----------------------------------
     tracks = build_tracks_conflict_free(pair_matches, n, capacity)
+    _mark("tracks")
 
     # --- 4. chunk problems, all solved in one vmapped dispatch ------------
     step = max(1, chunk - overlap)
@@ -535,6 +552,7 @@ def run_visual_odometry_fused(
                 track_uv_k[k, l, fl] = uv_np[s + fl, i]
                 track_has_k[k, l, fl] = True
 
+    _mark("chunk-prep")
     solver = _chunk_solver_jit(cam, chunk, min_corr, n_rounds, chunk_ba_opts, gate_px)
     c_rots, c_trans, c_pts, c_haspt, c_ok, _ = solver(
         jnp.asarray(track_uv_k), jnp.asarray(track_has_k)
@@ -544,6 +562,7 @@ def run_visual_odometry_fused(
     c_pts = np.asarray(c_pts, np.float32)
     c_haspt = np.asarray(c_haspt)
     c_ok = np.asarray(c_ok)
+    _mark("chunk-solve")
 
     # --- 5. Sim(3) composition over overlap frames (host) -----------------
     rots_g = np.zeros((n, 3, 3), np.float32)
@@ -598,11 +617,14 @@ def run_visual_odometry_fused(
         if len(pts_k):
             all_points.append(pts_k * sc_a @ rot_a.T + t_a)
 
+    _mark("compose")
+
     # --- 6. pose-graph refinement over the composed trajectory ------------
     if pose_graph and K > 1:
         rots_g, centers_g = _pose_graph_refine(
             rots_g, centers_g, san_rots, san_centers, chunk_scales, c_ok, starts
         )
+        _mark("pose-graph")
 
     trans_g = -np.einsum("fij,fj->fi", rots_g, centers_g)
 
@@ -616,7 +638,11 @@ def run_visual_odometry_fused(
     if global_ba and good:
         D = max_track_obs
         L = len(good)
-        Lp = ((L + 255) // 256) * 256
+        # Coarse 1024-bucket padding: the global BA is the biggest jit in the
+        # pipeline, and per-sequence track counts vary — fine-grained buckets
+        # recompile it per sequence (measured: minutes per recompile on the
+        # remote TPU toolchain).
+        Lp = ((L + 1023) // 1024) * 1024
         obs_cam = np.full((Lp, D), -1, np.int32)
         obs_uv = np.zeros((Lp, D, 2), np.float32)
         for l, tr in enumerate(good):
@@ -632,6 +658,7 @@ def run_visual_odometry_fused(
             for d, (f, i) in enumerate(obs):
                 obs_cam[l, d] = f
                 obs_uv[l, d] = uv_np[f, i]
+        _mark("global-prep")
         tri = _triangulate_jit(cam, 4.0 * gate_px)
         pts0, obs_ok, has_pt = tri(
             jnp.asarray(rots_g), jnp.asarray(trans_g),
@@ -663,6 +690,7 @@ def run_visual_odometry_fused(
             report_warn("chunked VO: global BA diverged — keeping pose-graph "
                         "trajectory")
         mean_len = float(np.mean([min(len(tr), D) for tr in good]))
+        _mark("global-ba")
 
     traj = Trajectory(
         timestamps=np.arange(n, dtype=np.float64) * 0.1,

@@ -216,4 +216,160 @@ void fd_hamming_match(const uint32_t* wa, const uint8_t* va, int na,
   }
 }
 
+// LSD line-segment detection — single-threaded CPU reference engine.
+// Same semantics as the framework's NumPy oracle (oracle/lsd.py), which
+// encodes feature_line_detector.cpp:12-228: 2x2 diagonal gradients and
+// level-line angles, gradient-norm-ordered seeds, BFS region growing with a
+// running circular-mean region angle, inertia rectangle fit, and the
+// length / inlier-ratio filters.  Serves as the honest single-thread CPU
+// baseline for the TPU LSD bench row.
+// out_lines: [max_out * 4] floats (x1, y1, x2, y2); returns segment count.
+int fd_lsd_detect(const uint8_t* img, int rows, int cols, float min_grad_norm,
+                  float tol_rad, float min_length, float min_inlier_ratio,
+                  float* out_lines, int max_out) {
+  const int g_rows = rows - 1, g_cols = cols - 1;
+  const size_t g = static_cast<size_t>(g_rows) * g_cols;
+  std::vector<float> norm(g, 0.0f), angle(g, 0.0f);
+  std::vector<uint8_t> valid(g, 0), used(g, 0);
+
+  for (int r = 1; r < rows - 2; ++r) {
+    for (int c = 1; c < cols - 2; ++c) {
+      const int ad = img[(r + 1) * cols + c + 1] - img[r * cols + c];
+      const int bc = img[r * cols + c + 1] - img[(r + 1) * cols + c];
+      const float gx = (ad + bc) * 0.5f;
+      const float gy = (ad - bc) * 0.5f;
+      const float n = std::sqrt(gx * gx + gy * gy);
+      const size_t k = static_cast<size_t>(r) * g_cols + c;
+      norm[k] = n;
+      if (n > min_grad_norm) {
+        valid[k] = 1;
+        angle[k] = std::atan2(gx, -gy);
+      }
+    }
+  }
+
+  auto wrap = [](float d) {
+    while (d > static_cast<float>(M_PI)) d -= 2.0f * static_cast<float>(M_PI);
+    while (d < -static_cast<float>(M_PI)) d += 2.0f * static_cast<float>(M_PI);
+    return d;
+  };
+
+  // NFA-style minimum region size (feature_line_detector.cpp:17-20).
+  const float p = tol_rad / static_cast<float>(M_PI);
+  const float log_nt =
+      5.0f * (std::log10(static_cast<float>(cols)) +
+              std::log10(static_cast<float>(rows))) / 2.0f +
+      std::log10(11.0f);
+  const int min_size = static_cast<int>(-log_nt / std::log10(p));
+
+  // Seeds sorted by gradient norm desc (stable — row-major tie-break).
+  std::vector<int32_t> seeds;
+  seeds.reserve(g / 8);
+  for (size_t k = 0; k < g; ++k)
+    if (valid[k]) seeds.push_back(static_cast<int32_t>(k));
+  std::stable_sort(seeds.begin(), seeds.end(), [&](int32_t a, int32_t b) {
+    return norm[a] > norm[b];
+  });
+
+  std::vector<int32_t> occupied_stamp(g, -1);
+  std::vector<int32_t> queue, members;
+  queue.reserve(4096);
+  members.reserve(4096);
+
+  int n_lines = 0;
+  for (size_t si = 0; si < seeds.size() && n_lines < max_out; ++si) {
+    const int32_t seed = seeds[si];
+    if (used[seed]) continue;
+    const int region_id = static_cast<int>(si);
+    const int sr = seed / g_cols, sc = seed % g_cols;
+    occupied_stamp[seed] = region_id;
+    float region_angle = angle[seed];
+    float sum_dx = std::cos(region_angle), sum_dy = std::sin(region_angle);
+    members.clear();
+    queue.clear();
+    size_t head = 0;
+    auto try_add = [&](int r, int c) {
+      if (r < 0 || r >= g_rows || c < 0 || c >= g_cols) return;
+      const size_t k = static_cast<size_t>(r) * g_cols + c;
+      if (occupied_stamp[k] != region_id && !used[k] && valid[k]) {
+        occupied_stamp[k] = region_id;
+        queue.push_back(static_cast<int32_t>(k));
+      }
+    };
+    for (int dr = -1; dr <= 1; ++dr)
+      for (int dc = -1; dc <= 1; ++dc)
+        if (dr || dc) try_add(sr + dr, sc + dc);
+    while (head < queue.size()) {
+      const int32_t k = queue[head++];
+      if (std::fabs(wrap(region_angle - angle[k])) > tol_rad) continue;
+      sum_dx += std::cos(angle[k]);
+      sum_dy += std::sin(angle[k]);
+      region_angle = std::atan2(sum_dy, sum_dx);
+      members.push_back(k);
+      used[k] = 1;
+      const int r = k / g_cols, c = k % g_cols;
+      for (int dr = -1; dr <= 1; ++dr)
+        for (int dc = -1; dc <= 1; ++dc)
+          if (dr || dc) try_add(r + dr, c + dc);
+    }
+    if (static_cast<int>(members.size()) < min_size) {
+      for (int32_t k : members) used[k] = 0;
+      continue;
+    }
+    // Inertia rectangle fit (feature_line_detector.cpp:163-228).
+    float sum_w = 0.0f, cx = 0.0f, cy = 0.0f;
+    for (int32_t k : members) {
+      const float w = norm[k];
+      sum_w += w;
+      cx += w * (k % g_cols);
+      cy += w * (k / g_cols);
+    }
+    if (sum_w == 0.0f) continue;
+    cx /= sum_w;
+    cy /= sum_w;
+    float ixx = 0.0f, iyy = 0.0f, ixy = 0.0f;
+    for (int32_t k : members) {
+      const float w = norm[k];
+      const float dx = (k % g_cols) - cx, dy = (k / g_cols) - cy;
+      ixx += dy * dy * w;
+      iyy += dx * dx * w;
+      ixy -= dx * dy * w;
+    }
+    if (ixx == 0.0f || iyy == 0.0f || ixy == 0.0f) continue;  // quirk Q6
+    const float smallest =
+        0.5f * (ixx + iyy - std::sqrt((ixx - iyy) * (ixx - iyy) + 4.0f * ixy * ixy));
+    float rect_angle = (std::fabs(ixx) > std::fabs(iyy))
+                           ? std::atan2(smallest - ixx, ixy)
+                           : std::atan2(ixy, smallest - iyy);
+    if (std::fabs(wrap(rect_angle - region_angle)) > tol_rad) {
+      rect_angle += static_cast<float>(M_PI);
+      if (rect_angle >= static_cast<float>(M_PI))
+        rect_angle -= 2.0f * static_cast<float>(M_PI);
+    }
+    const float dvx = std::cos(rect_angle), dvy = std::sin(rect_angle);
+    float lmin = 0.0f, lmax = 0.0f, wmin = 0.0f, wmax = 0.0f;
+    for (int32_t k : members) {
+      const float dx = (k % g_cols) - cx, dy = (k / g_cols) - cy;
+      const float pl = dx * dvx + dy * dvy;
+      const float pw = -dx * dvy + dy * dvx;
+      lmin = std::min(lmin, pl);
+      lmax = std::max(lmax, pl);
+      wmin = std::min(wmin, pw);
+      wmax = std::max(wmax, pw);
+    }
+    const float length = std::max(lmax - lmin, 1.0f);
+    const float width = std::max(wmax - wmin, 1.0f);
+    const float area = (lmax - lmin) * width;
+    const float inlier_ratio =
+        area > 0.0f ? static_cast<float>(members.size()) / area : 0.0f;
+    if (length < min_length || inlier_ratio < min_inlier_ratio) continue;
+    out_lines[4 * n_lines] = cx + lmin * dvx + 0.5f;
+    out_lines[4 * n_lines + 1] = cy + lmin * dvy + 0.5f;
+    out_lines[4 * n_lines + 2] = cx + lmax * dvx + 0.5f;
+    out_lines[4 * n_lines + 3] = cy + lmax * dvy + 0.5f;
+    ++n_lines;
+  }
+  return n_lines;
+}
+
 }  // extern "C"

@@ -74,3 +74,16 @@ class TestNativeMatcher:
             wa, np.ones(2, bool), wb, np.ones(1, bool), max_distance=64
         )
         assert idx[0] == 0 and idx[1] == -1
+
+
+class TestNativeLSD:
+    def test_matches_oracle(self, image):
+        """fd_lsd_detect is the single-thread CPU LSD baseline engine; it
+        must reproduce the oracle's (= reference-semantics) segments
+        endpoint-for-endpoint on the real example image."""
+        from feature_detector_tpu.oracle import lsd as olsd
+
+        got = native.lsd_detect(image)
+        want = np.asarray(olsd.detect_lines(image), np.float32)
+        assert len(got) == len(want) > 20, (len(got), len(want))
+        np.testing.assert_allclose(got, want, atol=5e-3)
