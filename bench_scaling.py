@@ -163,6 +163,28 @@ def _spawn(role: str, n_dev: int, cores: str):
     return json.loads(out.stdout.strip().splitlines()[-1])["rates"]
 
 
+def _spawn_concurrent(role: str, n: int):
+    """n INDEPENDENT 1-device workers pinned to distinct cores, running
+    simultaneously: the zero-collective ceiling.  Per-process rate divided by
+    the solo rate isolates what the shared memory system (not rendezvous)
+    costs — BA's working set streams from RAM, which the compute-bound
+    rendezvous probe cannot capture."""
+    procs = []
+    for i in range(n):
+        cmd = ["taskset", "-c", str(i), sys.executable, os.path.abspath(__file__),
+               "--role", role, "--devices", "1"]
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+        ))
+    rates = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        if p.returncode != 0:
+            raise RuntimeError(f"concurrent {role} failed: {err[-500:]}")
+        rates.extend(json.loads(out.strip().splitlines()[-1])["rates"])
+    return rates
+
+
 def _stats(rates):
     s = sorted(rates)
     return {
@@ -189,8 +211,18 @@ def main():
     out["ba_weak_scaling_efficiency"] = round(med["ba"][1] / med["ba"][0], 3)
     out["camba_weak_scaling_efficiency"] = round(med["camba"][1] / med["camba"][0], 3)
     out["harness_ceiling_efficiency"] = round(med["ceil"][1] / med["ceil"][0], 3)
+    # Zero-collective ceiling: n independent solo BA processes on n cores.
+    try:
+        conc = _spawn_concurrent("ba", n)
+        conc_med = sorted(conc)[len(conc) // 2]
+        out["ba_concurrent_solo"] = _stats(conc)
+        out["ba_membw_ceiling_efficiency"] = round(conc_med / med["ba"][0], 3)
+        ceiling = out["harness_ceiling_efficiency"] * out["ba_membw_ceiling_efficiency"]
+    except Exception as e:  # pragma: no cover
+        out["ba_membw_ceiling_error"] = str(e)[:200]
+        ceiling = out["harness_ceiling_efficiency"]
     out["ba_efficiency_vs_ceiling"] = round(
-        out["ba_weak_scaling_efficiency"] / max(out["harness_ceiling_efficiency"], 1e-9), 3
+        out["ba_weak_scaling_efficiency"] / max(ceiling, 1e-9), 3
     )
     # Back-compat keys consumed by earlier dashboards.
     out["frontend_fps_1dev_1core"] = round(med["fe"][0], 2)

@@ -66,18 +66,44 @@ def _rand_convex(rng, h, w, n_min=3, n_max=6):
     return pts
 
 
-def synth_scene(rng: np.random.Generator, h: int = 120, w: int = 160):
+def _smooth_noise(rng: np.random.Generator, h: int, w: int, scale: int) -> np.ndarray:
+    """Corner-free smooth random field in [-1, 1]: low-res noise upsampled
+    by repetition and blurred (several binomial passes kill the blocky
+    corners the repetition introduces)."""
+    small = rng.normal(0, 1, ((h + scale - 1) // scale + 2, (w + scale - 1) // scale + 2))
+    big = np.repeat(np.repeat(small, scale, 0), scale, 1)[:h, :w]
+    k = np.array([0.25, 0.5, 0.25], np.float32)
+    for _ in range(max(2, scale // 2)):
+        big = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, big)
+        big = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, big)
+    m = np.abs(big).max() + 1e-9
+    return (big / m).astype(np.float32)
+
+
+def synth_scene(rng: np.random.Generator, h: int = 120, w: int = 160,
+                rich_background: bool = False):
     """One synthetic scene: background gradient + noise, a few filled convex
     polygons, a few thick line segments, optionally a checkerboard patch.
 
     Corner labels: polygon vertices, segment endpoints, checkerboard inner
     crossings — the analytically-known corner set.
+
+    ``rich_background`` adds corner-FREE smooth texture fields to the
+    background so a detector trained on these scenes learns to score
+    textured-but-cornerless regions low — the score-informativeness failure
+    mode of the first DISK training round (VERDICT r4 weak #5: detections
+    saturated the cap with background ranked alongside true corners).
     """
     u, v = _grid(h, w)
     gu = rng.uniform(-1, 1)
     gv = rng.uniform(-1, 1)
     img = 0.35 + 0.25 * (gu * u / w + gv * v / h) + rng.normal(0, 0.02, (h, w))
     img = img.astype(np.float32)
+    if rich_background:
+        for _ in range(int(rng.integers(1, 4))):
+            scale = int(rng.integers(3, 9))
+            amp = float(rng.uniform(0.05, 0.22))
+            img += amp * _smooth_noise(rng, h, w, scale)
     corners: List[np.ndarray] = []
 
     for _ in range(int(rng.integers(2, 5))):
@@ -166,7 +192,8 @@ def cell_labels(corners: np.ndarray, h: int, w: int, cell: int = 8) -> np.ndarra
     return lab
 
 
-def make_batch(rng: np.random.Generator, batch: int, h: int, w: int):
+def make_batch(rng: np.random.Generator, batch: int, h: int, w: int,
+               rich_background: bool = False):
     """One training batch: images A, warped images' homographies, labels.
 
     Returns dict of np arrays:
@@ -181,7 +208,7 @@ def make_batch(rng: np.random.Generator, batch: int, h: int, w: int):
     lab_b = np.zeros((batch, h // 8, w // 8), np.int32)
     Hs = np.zeros((batch, 3, 3), np.float32)
     for b in range(batch):
-        img, cs = synth_scene(rng, h, w)
+        img, cs = synth_scene(rng, h, w, rich_background=rich_background)
         Hm = random_homography(rng, h, w)
         imgs[b] = img
         Hs[b] = Hm

@@ -53,8 +53,20 @@ def labels_to_pixel_map(labels: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return cells.transpose(0, 1, 3, 2, 4).reshape(bsz, h, w)
 
 
+def _smear(tgt: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Dilate the {0,1} corner map to a (2r+1)² plateau.  A single-pixel
+    positive against ~20k negatives trains a timid heatmap whose corner peaks
+    barely clear the background (the r04 score-informativeness failure);
+    the plateau target concentrates probability mass at corners without
+    punishing ±1 px localization."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        tgt, 0.0, jax.lax.max, (1, k, k), (1, 1, 1), "SAME"
+    )
+
+
 def disk_loss(model: Disk, params, batch, lambda_d: float = 1.0,
-              margin_neg: float = 0.2):
+              margin_neg: float = 0.2, smear_radius: int = 1):
     images = batch["image"]
     bsz, h, w = images.shape
     warped, valid_px = warp_bilinear(images, batch["H_ab"])
@@ -63,8 +75,8 @@ def disk_loss(model: Disk, params, batch, lambda_d: float = 1.0,
     heat_a, desc_a = model.apply(params, rgb(images))
     heat_b, desc_b = model.apply(params, rgb(warped))
 
-    tgt_a = labels_to_pixel_map(batch["label_a"], h, w)
-    tgt_b = labels_to_pixel_map(batch["label_b"], h, w)
+    tgt_a = _smear(labels_to_pixel_map(batch["label_a"], h, w), smear_radius)
+    tgt_b = _smear(labels_to_pixel_map(batch["label_b"], h, w), smear_radius)
 
     def bce(heat, tgt, px_mask=None):
         eps = 1e-6
@@ -129,7 +141,8 @@ def train(steps: int = 1500, batch: int = 16, h: int = 128, w: int = 160,
     history = []
     t0 = time.time()
     for i in range(steps):
-        b = make_batch(rng, batch, h, w)
+        # rich_background: corner-free texture negatives (see synth_data).
+        b = make_batch(rng, batch, h, w, rich_background=True)
         params, opt_state, loss, aux = step_fn(params, opt_state, b)
         if i % log_every == 0 or i == steps - 1:
             l, d, dd = float(loss), float(aux["det"]), float(aux["desc"])
