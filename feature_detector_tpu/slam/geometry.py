@@ -402,7 +402,10 @@ def two_view_init(
         score = jnp.sum(jnp.where(valid, sigma2_px * jnp.log1p(e2 / sigma2_px), 0.0))
         return r_c, t_c, score
 
-    cand_r, cand_t, cand_cost = jax.lax.map(refine_candidate, top)
+    # batch_size=K vectorizes the K refinements (a bare lax.map runs them
+    # SEQUENTIALLY — measured as the dominant latency of the fused VO's
+    # chunk solves: 8 candidates x ~25 dependent tiny-op iterations each).
+    cand_r, cand_t, cand_cost = jax.lax.map(refine_candidate, top, batch_size=K)
     best = jnp.argmin(cand_cost)
     rot_b, trans_b = cand_r[best], cand_t[best]
     # Re-derive weights/inliers against the chosen pose.
@@ -421,6 +424,57 @@ def two_view_init(
         # pass cheirality_gate=False.
         inlier = inlier & cheir
     return rot_b, trans_b, pts, inlier
+
+
+@functools.partial(jax.jit, static_argnames=("ransac_rounds",))
+def epipolar_inlier_gate(
+    uv_a: jnp.ndarray,
+    uv_b: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam: Pinhole,
+    ransac_rounds: int = 48,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Cheap epipolar RANSAC inlier mask (no pose recovery).
+
+    `two_view_init` spends ~95% of its time in the K-candidate refinement
+    chain (Sampson GN + robust reprojection bundles) needed to recover an
+    accurate POSE — but match gating only needs the best hypothesis's
+    Sampson-inlier set.  This gate runs the same gumbel-top-8 hypothesis
+    sampling and MLESAC scoring, then one IRLS refit of the winner, and
+    returns its inlier mask: ~50x cheaper under vmap over hundreds of frame
+    pairs (the fused VO's per-offset gating dispatches).
+
+    Batched over leading axes by vmap at the call site; fixed shapes.
+    """
+    n = uv_a.shape[0]
+    xa = backproject(uv_a, cam)
+    xb = backproject(uv_b, cam)
+    sigma2 = (2.0 / cam.fx) ** 2
+    tau = 9.0 * sigma2
+
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    keys = jax.random.split(jax.random.PRNGKey(seed), ransac_rounds)
+
+    def one_round(key):
+        g = jax.random.gumbel(key, (n,)) + logits
+        sel = jnp.argsort(-g)[:8]
+        w = jnp.zeros(n).at[sel].set(1.0)
+        e = essential_from_matches(uv_a, uv_b, w, cam)
+        d2 = _sampson_d2(e, xa, xb)
+        score = jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - d2 / tau), 0.0))
+        return score, d2
+
+    scores, d2_all = jax.lax.map(one_round, keys, batch_size=ransac_rounds)
+    best = jnp.argmax(scores)
+    weight = (valid & (d2_all[best] < tau)).astype(jnp.float32)
+    # One reweighted refit sharpens the consensus set.
+    e = essential_from_matches(uv_a, uv_b, weight, cam)
+    d2 = _sampson_d2(e, xa, xb)
+    weight = jnp.where(valid & (d2 < 4.0 * tau), 1.0 / (1.0 + d2 / sigma2), 0.0)
+    e = essential_from_matches(uv_a, uv_b, weight, cam)
+    d2 = _sampson_d2(e, xa, xb)
+    return valid & (d2 < tau)
 
 
 @jax.jit

@@ -44,6 +44,11 @@ def _edge_residual(ri, ti, rj, tj, r_ij, t_ij, di, dj):
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def pose_graph_solve(graph: PoseGraph, opts: BAOptions = BAOptions()) -> PoseGraph:
+    with jax.default_matmul_precision("highest"):
+        return _pose_graph_solve_impl(graph, opts)
+
+
+def _pose_graph_solve_impl(graph: PoseGraph, opts: BAOptions) -> PoseGraph:
     n = graph.rot.shape[0]
     e = graph.edge_i.shape[0]
     valid = (graph.edge_i >= 0) & (graph.edge_j >= 0)

@@ -73,20 +73,27 @@ def midpoint_triangulate(
     obs_uv: jnp.ndarray,
     cam: Pinhole,
     gate_px: float,
+    dense_frames: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-track multiview midpoint triangulation with a consensus refit.
 
     rot [C, 3, 3] / trans [C, 3] world→camera, obs_cam [L, D] (-1 = empty),
     obs_uv [L, D, 2].  Two passes: fit on all observations, gate by
     reprojection (< gate_px, positive depth), refit on the inliers.
+    ``dense_frames``: obs slot d IS camera d (broadcast instead of gather —
+    see ba._per_landmark_blocks).
     Returns (points [L, 3], obs_ok [L, D], has_pt [L] = ≥2 inliers).
     """
     L, D = obs_cam.shape
     n_cams = rot.shape[0]
     valid = obs_cam >= 0
-    cam_idx = jnp.clip(obs_cam, 0, n_cams - 1)
-    R = rot[cam_idx]                                     # [L, D, 3, 3]
-    t = trans[cam_idx]                                   # [L, D, 3]
+    if dense_frames:
+        R = jnp.broadcast_to(rot[None], (L, D, 3, 3))
+        t = jnp.broadcast_to(trans[None], (L, D, 3))
+    else:
+        cam_idx = jnp.clip(obs_cam, 0, n_cams - 1)
+        R = rot[cam_idx]                                 # [L, D, 3, 3]
+        t = trans[cam_idx]                               # [L, D, 3]
     centers = -jnp.einsum("ldji,ldj->ldi", R, t)
 
     rx = (obs_uv[..., 0] - cam.cx) / cam.fx
@@ -215,14 +222,17 @@ def _chunk_solver_jit(
                 trans = t_new.at[0].set(0.0)
 
                 pts, obs_ok, has_pt = midpoint_triangulate(
-                    rots, trans, obs_cam_all, track_uv, cam, gate_px
+                    rots, trans, obs_cam_all, track_uv, cam, gate_px,
+                    dense_frames=True,
                 )
                 obs_cam = jnp.where(obs_ok, obs_cam_all, -1)
                 problem = BAProblem(
                     rot=rots, trans=trans, points=pts,
                     obs_cam=obs_cam, obs_uv=track_uv,
                 )
-                solved = _ba_solve_impl(problem, cam, ba_opts)
+                # dense_frames: obs slot d IS frame d in the chunk layout —
+                # the BA's camera gathers/scatters become dense reductions.
+                solved = _ba_solve_impl(problem, cam, ba_opts, dense_frames=True)
                 return solved.rot, solved.trans, solved.points, has_pt
 
             rots, trans, pts, has_pt = jax.lax.fori_loop(
@@ -232,7 +242,8 @@ def _chunk_solver_jit(
             # observations — a wrong-basin solution must truncate the many
             # observations it cannot explain, so lower is reliably better.
             pts_f, obs_ok, has_pt2 = midpoint_triangulate(
-                rots, trans, obs_cam_all, track_uv, cam, gate_px
+                rots, trans, obs_cam_all, track_uv, cam, gate_px,
+                dense_frames=True,
             )
             cam_idx = jnp.clip(obs_cam_all, 0, F - 1)
             pc = jnp.einsum("ldij,lj->ldi", rots[cam_idx], pts_f) + trans[cam_idx]
@@ -394,6 +405,24 @@ def _pose_graph_refine(
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=8)
+def _epi_gate_jit(cam: Pinhole):
+    @jax.jit
+    def gate(a, b, v):
+        # HIGHEST precision: TPU default routes f32 matmuls through bf16
+        # passes; the 9x9 epipolar normal matrices built from ~unit-scale
+        # normalized coordinates lose enough digits to visibly perturb the
+        # inlier sets (measured: 120-frame ATE 0.33 m with exact gates vs
+        # ~1.3 m with bf16-pass gates, CPU unaffected).  The matmuls are
+        # tiny — precision costs nothing here.
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(
+                lambda aa, bb, vv: geometry.epipolar_inlier_gate(aa, bb, vv, cam)
+            )(a, b, v)
+
+    return gate
+
+
 @functools.lru_cache(maxsize=16)
 def _triangulate_jit(cam: Pinhole, gate_px: float):
     @jax.jit
@@ -446,7 +475,6 @@ def run_visual_odometry_fused(
         VOResult,
         build_tracks_conflict_free,
         _match_pairs_jit,
-        _pair_ransac_jit,
         sanitize_chunk_poses,
         scan_frontend_jit,
     )
@@ -483,45 +511,42 @@ def run_visual_odometry_fused(
     links_np = np.asarray(links)
     _mark("frontend")
 
-    # --- 2. matching + epipolar gate, a handful of dispatches -------------
+    # --- 2. matching + epipolar gate ---------------------------------------
     # Edge order matters for the conflict-rejecting track builder: most
     # trustworthy first — carried links (photometrically verified frame-to-
     # frame continuations), then descriptor matches at ascending offset.
+    # ALL frame pairs (every offset + the carry links) are gated in ONE
+    # vmapped dispatch of the cheap epipolar gate: the r04-style per-offset
+    # `two_view_init` gates compiled 5 distinct heavy graphs and spent
+    # ~95% of their time recovering poses nobody used.
     match_pairs = _match_pairs_jit(match_opts)
-    ransac_gate = _pair_ransac_jit(cam)
-    pair_matches: List[Tuple[int, int, np.ndarray]] = []
+    edges: List[Tuple[int, int, np.ndarray]] = []   # (fa, fb, midx)
     if n > 1:
-        sel = np.clip(links_np, 0, None)
-        uv_b_sel = uv_np[1:][np.arange(n - 1)[:, None], sel]
-        pair_valid = (links_np >= 0) & valid_np[:-1]
-        inlier = np.asarray(
-            ransac_gate(
-                jnp.asarray(uv_np[:-1]),
-                jnp.asarray(uv_b_sel),
-                jnp.asarray(pair_valid),
-            )
-        )
         for f in range(n - 1):
-            pair_matches.append(
-                (f, f + 1, np.where(inlier[f], links_np[f], -1))
-            )
+            edges.append((f, f + 1, links_np[f]))
     for off in match_offsets:
         if n <= off:
             continue
         m = match_pairs(words[:-off], dvalid[:-off], words[off:], dvalid[off:])
         midx = np.where(np.asarray(m.valid), np.asarray(m.index), -1)
-        sel = np.clip(midx, 0, None)
-        uv_b_sel = uv_np[off:][np.arange(n - off)[:, None], sel]
-        pair_valid = (midx >= 0) & valid_np[:-off]
-        inlier = np.asarray(
-            ransac_gate(
-                jnp.asarray(uv_np[:-off]),
-                jnp.asarray(uv_b_sel),
-                jnp.asarray(pair_valid),
-            )
-        )
         for f in range(n - off):
-            pair_matches.append((f, f + off, np.where(inlier[f], midx[f], -1)))
+            edges.append((f, f + off, midx[f]))
+    fa_idx = np.asarray([e[0] for e in edges])
+    fb_idx = np.asarray([e[1] for e in edges])
+    midx_all = np.stack([e[2] for e in edges])                   # [P, N]
+    sel = np.clip(midx_all, 0, None)
+    uv_a_all = uv_np[fa_idx]                                     # [P, N, 2]
+    uv_b_all = uv_np[fb_idx][np.arange(len(edges))[:, None], sel]
+    pv_all = (midx_all >= 0) & valid_np[fa_idx]
+    inlier = np.asarray(
+        _epi_gate_jit(cam)(
+            jnp.asarray(uv_a_all), jnp.asarray(uv_b_all), jnp.asarray(pv_all)
+        )
+    )
+    pair_matches: List[Tuple[int, int, np.ndarray]] = [
+        (int(fa_idx[k]), int(fb_idx[k]), np.where(inlier[k], midx_all[k], -1))
+        for k in range(len(edges))
+    ]
 
     _mark("match+gate")
 
@@ -603,6 +628,40 @@ def run_visual_odometry_fused(
                 rots_g, centers_g, rot_l, c_loc, shared_g, shared_l,
                 s, chunk, prev_sc,
             )
+            # Overlap-consistency check: a chunk whose aligned overlap
+            # centers still disagree with the composed trajectory by more
+            # than a typical inter-frame step is a bad solve (wrong-basin
+            # init the candidate scoring missed, or chip-nondeterministic
+            # degradation).  Fall back to constant-velocity extrapolation
+            # for its new frames — a coarse init the global BA's merged
+            # tracks then refine — instead of composing garbage.
+            aligned = sc_a * np.stack([c_loc[fl] for fl in shared_l]) @ rot_a.T + t_a
+            resid = np.linalg.norm(aligned - centers_g[shared_g], axis=1)
+            g_lo = max(0, s - chunk)
+            steps_g = np.linalg.norm(
+                np.diff(centers_g[g_lo:s + 1], axis=0), axis=1
+            )
+            typ = float(np.median(steps_g)) if len(steps_g) else 0.0
+            if typ > 0 and float(np.median(resid)) > typ:
+                report_warn(
+                    "chunked VO: chunk at start %d inconsistent with composed"
+                    " trajectory (median overlap residual %.3g vs typical"
+                    " step %.3g) — constant-velocity fallback", s,
+                    float(np.median(resid)), typ,
+                )
+                c_ok[k] = False
+                last = int(np.where(have)[0][-1])
+                v = (
+                    centers_g[last] - centers_g[last - 1]
+                    if last > 0 else np.zeros(3, np.float32)
+                )
+                for f in range(s, s + chunk):
+                    if not have[f]:
+                        rots_g[f] = rots_g[last]
+                        centers_g[f] = centers_g[last] + (f - last) * v
+                        have[f] = True
+                chunk_scales[k] = prev_sc
+                continue
         prev_sc = sc_a
         chunk_scales[k] = sc_a
         for fl in range(chunk):
@@ -675,9 +734,23 @@ def run_visual_odometry_fused(
         if mesh is not None:
             from .ba import make_distributed_ba
 
-            solved = make_distributed_ba(mesh, cam, ba_opts)(problem)
+            _solve = make_distributed_ba(mesh, cam, ba_opts)
         else:
-            solved = ba_solve(problem, cam, ba_opts)
+            _solve = lambda p: ba_solve(p, cam, ba_opts)
+        solved = _solve(problem)
+        # Second pass with re-triangulation from the refined poses: when a
+        # chunk degraded (constant-velocity fallback above), its frames'
+        # first-pass points were triangulated from a coarse init — refitting
+        # the structure and solving again recovers them.
+        pts1, ok1, has_pt = tri(
+            solved.rot, solved.trans, jnp.asarray(obs_cam), jnp.asarray(obs_uv)
+        )
+        solved = _solve(
+            problem._replace(
+                rot=solved.rot, trans=solved.trans, points=pts1,
+                obs_cam=jnp.where(ok1, jnp.asarray(obs_cam), -1),
+            )
+        )
         r_s = np.asarray(solved.rot, np.float32)
         t_s = np.asarray(solved.trans, np.float32)
         p_s = np.asarray(solved.points, np.float32)

@@ -228,3 +228,57 @@ class TestPoseGraph:
         )
         solved = pose_graph_solve(graph, BAOptions(max_iterations=10, damping=1e-6, num_fixed_cameras=1))
         np.testing.assert_allclose(np.asarray(solved.trans), trans, atol=5e-3)
+
+
+class TestDenseFramesBA:
+    def test_dense_frames_matches_generic(self):
+        """The dense frame-slot specialization (obs_cam[l, d] in {d, -1},
+        D == n_cams — the fused VO chunk layout) must solve identically to
+        the generic gather/scatter path; it exists purely because TPU
+        scatters run at gather rate (~1.6 ns/element) while the dense
+        reduction streams."""
+        from feature_detector_tpu.slam.ba import _ba_solve_jit
+        from feature_detector_tpu.slam.camera import project
+
+        rng = _rng(11)
+        n_cams, L = 10, 64
+        pts = rng.uniform(-2, 2, (L, 3)).astype(np.float32)
+        pts[:, 2] += 6.0
+        rots, trans = [], []
+        for i in range(n_cams):
+            a = 0.05 * (i - n_cams / 2)
+            r = np.asarray(lie.so3_exp(jnp.asarray([0.0, a, 0.0])))
+            c = np.array([2 * np.sin(a), 0.0, -0.5 * np.cos(a)], np.float32)
+            rots.append(r)
+            trans.append(-r @ c)
+        rots = np.stack(rots).astype(np.float32)
+        trans = np.stack(trans).astype(np.float32)
+        obs_cam = np.full((L, n_cams), -1, np.int32)
+        obs_uv = np.zeros((L, n_cams, 2), np.float32)
+        for l in range(L):
+            for d in range(n_cams):
+                if rng.uniform() < 0.6:
+                    p = rots[d] @ pts[l] + trans[d]
+                    obs_cam[l, d] = d
+                    obs_uv[l, d] = (
+                        np.asarray(project(jnp.asarray(p), CAM))
+                        + rng.normal(size=2) * 0.3
+                    )
+        prob = BAProblem(
+            rot=jnp.asarray(rots), trans=jnp.asarray(trans),
+            points=jnp.asarray(
+                pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+            ),
+            obs_cam=jnp.asarray(obs_cam), obs_uv=jnp.asarray(obs_uv),
+        )
+        opts = BAOptions(
+            max_iterations=10, huber_delta=2.0, gate_px=3.0, gate_rounds=1
+        )
+        s0 = _ba_solve_jit(prob, CAM, opts, None, False)
+        s1 = _ba_solve_jit(prob, CAM, opts, None, True)
+        np.testing.assert_allclose(
+            np.asarray(s1.rot), np.asarray(s0.rot), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.points), np.asarray(s0.points), atol=5e-3
+        )
