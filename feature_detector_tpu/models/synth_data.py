@@ -68,14 +68,14 @@ def _rand_convex(rng, h, w, n_min=3, n_max=6):
 
 def _smooth_noise(rng: np.random.Generator, h: int, w: int, scale: int) -> np.ndarray:
     """Corner-free smooth random field in [-1, 1]: low-res noise upsampled
-    by repetition and blurred (several binomial passes kill the blocky
-    corners the repetition introduces)."""
+    by repetition, then Gaussian-blurred so the blocky repetition corners
+    vanish (scipy's separable filter — the data pipeline must keep up with
+    the TPU train step)."""
+    from scipy.ndimage import gaussian_filter
+
     small = rng.normal(0, 1, ((h + scale - 1) // scale + 2, (w + scale - 1) // scale + 2))
     big = np.repeat(np.repeat(small, scale, 0), scale, 1)[:h, :w]
-    k = np.array([0.25, 0.5, 0.25], np.float32)
-    for _ in range(max(2, scale // 2)):
-        big = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, big)
-        big = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, big)
+    big = gaussian_filter(big, sigma=max(1.0, 0.6 * scale))
     m = np.abs(big).max() + 1e-9
     return (big / m).astype(np.float32)
 

@@ -140,9 +140,17 @@ def train(steps: int = 1500, batch: int = 16, h: int = 128, w: int = 160,
 
     history = []
     t0 = time.time()
+    # Prefetch thread: scene rendering is ~0.5 s/batch of host numpy/scipy
+    # (GIL-releasing) — overlap it with the TPU step instead of serializing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(1)
+    # rich_background: corner-free texture negatives (see synth_data).
+    gen = lambda: make_batch(rng, batch, h, w, rich_background=True)
+    fut = pool.submit(gen)
     for i in range(steps):
-        # rich_background: corner-free texture negatives (see synth_data).
-        b = make_batch(rng, batch, h, w, rich_background=True)
+        b = fut.result()
+        fut = pool.submit(gen)
         params, opt_state, loss, aux = step_fn(params, opt_state, b)
         if i % log_every == 0 or i == steps - 1:
             l, d, dd = float(loss), float(aux["det"]), float(aux["desc"])

@@ -402,10 +402,12 @@ def two_view_init(
         score = jnp.sum(jnp.where(valid, sigma2_px * jnp.log1p(e2 / sigma2_px), 0.0))
         return r_c, t_c, score
 
-    # batch_size=K vectorizes the K refinements (a bare lax.map runs them
-    # SEQUENTIALLY — measured as the dominant latency of the fused VO's
-    # chunk solves: 8 candidates x ~25 dependent tiny-op iterations each).
-    cand_r, cand_t, cand_cost = jax.lax.map(refine_candidate, top, batch_size=K)
+    # NB deliberately a SEQUENTIAL lax.map: batch_size=K (vmap) was tried
+    # for latency and changes eigh/svd numerics enough to flip fragile
+    # basin choices (the 16-frame arc regression), while under the fused
+    # VO's chunk vmap the sequentiality is already amortized across chunks
+    # — measured zero on-chip speedup.
+    cand_r, cand_t, cand_cost = jax.lax.map(refine_candidate, top)
     best = jnp.argmin(cand_cost)
     rot_b, trans_b = cand_r[best], cand_t[best]
     # Re-derive weights/inliers against the chosen pose.
