@@ -153,9 +153,13 @@ class LineDetectorOptions:
     # Fixed-shape controls.
     max_lines: int = 128
     # Stencil-sweep budget for the path-running-mean region flood
-    # (kernels/lsd.py): reach = one pixel per sweep, so 320 covers the
-    # longest contour in either example image (292 px) with margin.
-    propagation_steps: int = 320
+    # (kernels/lsd.py): reach = one pixel per sweep.  Measured recall vs the
+    # oracle on the example images: 0.95/0.90 @ 4 px at 320 sweeps,
+    # 0.95/0.89 at 256, 0.95/0.87 at 224 (bars 0.9/0.8) — 256 keeps the
+    # recall margin and shaves 20% off the propagation latency (sweeps are
+    # the LSD frame's dominant cost).  A segment longer than the budget
+    # splits rather than disappearing.
+    propagation_steps: int = 256
 
 
 class NNModelType(enum.Enum):

@@ -31,6 +31,7 @@ from jax import shard_map
 from ..core.config import BAOptions
 from .camera import Pinhole, huber_weight, project, projection_jacobian
 from .lie import hat, se3_apply, se3_update
+from .linalg3 import inv3, solve3
 
 
 @functools.lru_cache(maxsize=None)
@@ -159,7 +160,11 @@ def _assemble(rot, trans, points, obs_cam, obs_uv, cam, opts, n_cams, obs_w=None
     tr = jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None]
     Hpp = Hpp + (opts.damping * tr + 1e-5) * jnp.eye(3, dtype=Hpp.dtype)
     bp = -jnp.einsum("ldki,ldk->li", Jp, rw)              # [L, 3]
-    Hpp_inv = _f(jnp.linalg.inv(_d(Hpp)))
+    # Closed-form adjugate inverse: XLA:TPU's batched 3x3 LU runs ~1000x
+    # below the fused-multiply rate (see slam/linalg3.py); the damped
+    # matrices are well-conditioned, and the f64 promotion (CPU/GPU
+    # determinism aid) passes straight through the elementwise form.
+    Hpp_inv = _f(inv3(_d(Hpp)))
 
     # Camera blocks per observation.
     Hcc_blk = jnp.einsum("ldki,ldkj->ldij", Jc, Jc)       # [L, D, 6, 6]
@@ -439,7 +444,7 @@ def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: floa
     n_valid = jnp.sum(valid, -1)                             # [L]
 
     def _tri(A, rhs):
-        return _f(jnp.linalg.solve(_d(A + 1e-6 * eye), _d(rhs)[..., None])[..., 0])
+        return _f(solve3(_d(A + 1e-6 * eye), _d(rhs)))
 
     # (a) pairs [L, D*D].
     hyp_pair = _tri(M[:, :, None] + M[:, None, :], Mc[:, :, None] + Mc[:, None, :])

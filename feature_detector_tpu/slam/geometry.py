@@ -60,9 +60,27 @@ def triangulate(
                 rb[1] * pb[2] - pb[1],
             ]
         )  # [4, 4]
-        _, _, vt = jnp.linalg.svd(a)
-        x = vt[-1]
-        return x[:3] / jnp.where(jnp.abs(x[3]) < 1e-12, 1e-12, x[3])
+        # Inhomogeneous DLT (w = 1): solve the 4x3 least squares via the
+        # closed-form 3x3 normal equations.  The homogeneous route needs a
+        # per-point 4x4 SVD, which XLA:TPU runs ~1000x slower than these
+        # fused multiplies (measured: the batched SVDs were ~4 s of every
+        # fused-VO chunk dispatch); for finite-depth points the
+        # inhomogeneous solution is the same minimizer up to the (benign)
+        # row normalization, and degenerate/at-infinity rays blow up into
+        # points the callers' cheirality + reprojection gates discard.
+        M = a[:, :3]
+        c = a[:, 3]
+        AtA = M.T @ M
+        tr = AtA[0, 0] + AtA[1, 1] + AtA[2, 2]
+        AtA = AtA + (1e-9 * tr + 1e-20) * jnp.eye(3, dtype=a.dtype)
+        # Scale-normalize before the Cramer solve: far-outlier projections
+        # (e.g. behind-camera points fed by the cheirality test) reach
+        # |AtA| ~ 1e13, whose determinant overflows f32; dividing both
+        # sides by max|AtA| leaves the solution exactly unchanged.
+        s = jnp.maximum(jnp.max(jnp.abs(AtA)), 1e-20)
+        from .linalg3 import solve3
+
+        return -solve3(AtA / s, (M.T @ c) / s)
 
     pts = jax.vmap(one)(ray_a, ray_b)  # [N, 3]
     za = (pts @ rot_a.T + trans_a)[:, 2]

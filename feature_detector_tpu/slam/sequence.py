@@ -585,8 +585,8 @@ def sanitize_chunk_poses(
 def run_visual_odometry_chunked(
     images: np.ndarray,
     cam: Pinhole,
-    chunk: int = 10,
-    overlap: int = 4,
+    chunk: int = 12,
+    overlap: int = 5,
     legacy: bool = False,
     **kwargs,
 ) -> VOResult:
