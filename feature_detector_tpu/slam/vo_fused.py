@@ -286,6 +286,33 @@ def _chunk_solver_jit(
 # --------------------------------------------------------------------------
 
 
+def reliable_frame_prefix(c_loc: np.ndarray, collapse_ratio: float = 0.3) -> np.ndarray:
+    """Per-frame reliability mask for one chunk's local camera centers.
+
+    The chunk solver's failure tail: frames beyond the init pair whose PnP
+    gate rejected every update FREEZE near their extrapolated prior — their
+    consecutive-center steps collapse relative to the chunk's own median
+    step.  A frozen tail composed into the global trajectory poisons the
+    next handoff on both sides (observed: seed-2 bench run froze frames
+    105-110 of the chunk at 98, and the next chunk aligned to the frozen
+    segment).  Marks every frame after the last healthy interval as
+    unreliable so composition leaves those frames to the OTHER chunk
+    covering them.
+    """
+    n = len(c_loc)
+    steps = np.linalg.norm(np.diff(c_loc, axis=0), axis=1)
+    med = float(np.median(steps)) if len(steps) else 0.0
+    rel = np.ones(n, bool)
+    if med <= 1e-12:
+        return rel  # wholly degenerate chunk: handled by the scale guards
+    ok = steps >= collapse_ratio * med
+    j = len(ok)
+    while j > 0 and not ok[j - 1]:
+        j -= 1
+    rel[j + 1:] = False
+    return rel
+
+
 def sim3_align_overlap(
     rots_g, centers_g, rot_l, c_loc, shared_g, shared_l,
     s, chunk, prev_sc,
@@ -504,7 +531,13 @@ def run_visual_odometry_fused(
     pose_graph: bool = True,
     global_ba: bool = True,
     mesh=None,
-    match_offsets: Tuple[int, ...] = (1, 2, 3, 4),
+    # Long offsets matter: 1..4 alone leaves a low-frequency trajectory
+    # bending mode that reprojection barely constrains (every BA schedule
+    # converged to the same 2.3%-of-span bend on the worst bench seed);
+    # wide-baseline matches at offsets 8 and 16 stiffen exactly that mode
+    # (measured: worst-seed ATE 2.28% -> 0.23%).  Offsets beyond ~16 start
+    # returning enough wrong matches to cost track quality.
+    match_offsets: Tuple[int, ...] = (1, 2, 3, 4, 8, 16),
 ):
     """Fused chunked VO (see module docstring).  Returns a VOResult covering
     every input frame; drop-in for the legacy run_visual_odometry_chunked."""
@@ -643,6 +676,7 @@ def run_visual_odometry_fused(
         c_loc = -np.einsum("fji,fj->fi", rot_l, tr_l)
         san_rots[k] = rot_l
         san_centers[k] = c_loc
+        rel = reliable_frame_prefix(c_loc)
         if not c_ok[k]:
             report_warn(
                 "chunked VO: chunk at start %d failed init — holding last "
@@ -704,9 +738,15 @@ def run_visual_odometry_fused(
                 continue
         prev_sc = sc_a
         chunk_scales[k] = sc_a
+        if not rel.all():
+            report_warn(
+                "chunked VO: chunk at start %d has a frozen tail (%d frames)"
+                " — leaving those frames to the overlapping chunk",
+                s, int((~rel).sum()),
+            )
         for fl in range(chunk):
             f = s + fl
-            if have[f]:
+            if have[f] or not rel[fl]:
                 continue
             c = sc_a * rot_a @ c_loc[fl] + t_a
             rots_g[f] = rot_l[fl] @ rot_a.T
@@ -715,6 +755,32 @@ def run_visual_odometry_fused(
         pts_k = c_pts[k][c_haspt[k]]
         if len(pts_k):
             all_points.append(pts_k * sc_a @ rot_a.T + t_a)
+
+    # Frames every covering chunk deemed unreliable (typically the last
+    # chunk's frozen tail): constant-velocity fill — the global PnP + BA
+    # passes re-solve them against the adjusted map.
+    if not have.all():
+        report_warn(
+            "chunked VO: %d frames unfilled after composition — "
+            "constant-velocity fill", int((~have).sum()),
+        )
+        for f in range(n):
+            if have[f]:
+                continue
+            last = f - 1
+            while last >= 0 and not have[last]:
+                last -= 1
+            if last < 0:
+                rots_g[f] = np.eye(3, dtype=np.float32)
+                centers_g[f] = 0.0
+            else:
+                v = (
+                    centers_g[last] - centers_g[last - 1]
+                    if last > 0 else np.zeros(3, np.float32)
+                )
+                rots_g[f] = rots_g[last]
+                centers_g[f] = centers_g[last] + (f - last) * v
+            have[f] = True
 
     _mark("compose")
 
