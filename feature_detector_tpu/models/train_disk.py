@@ -65,8 +65,8 @@ def _smear(tgt: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     )
 
 
-def disk_loss(model: Disk, params, batch, lambda_d: float = 1.0,
-              margin_neg: float = 0.2, smear_radius: int = 1):
+def disk_loss(model: Disk, params, batch, lambda_d: float = 2.0,
+              margin_neg: float = 0.4, smear_radius: int = 1):
     images = batch["image"]
     bsz, h, w = images.shape
     warped, valid_px = warp_bilinear(images, batch["H_ab"])
@@ -110,10 +110,16 @@ def disk_loss(model: Disk, params, batch, lambda_d: float = 1.0,
     da = da / jnp.maximum(jnp.linalg.norm(da, axis=-1, keepdims=True), 1e-9)
     db = db / jnp.maximum(jnp.linalg.norm(db, axis=-1, keepdims=True), 1e-9)
     dot = jnp.einsum("bnd,bmd->bnm", da, db)
-    hinge = s * jnp.maximum(0.0, 1.0 - dot) + (1.0 - s) * jnp.maximum(0.0, dot - margin_neg)
-    n_pos = jnp.maximum(jnp.sum(s), 1.0)
-    n_neg = jnp.maximum(jnp.sum(1.0 - s), 1.0)
-    desc_loss = jnp.sum(hinge * s) / n_pos + jnp.sum(hinge * (1.0 - s)) / n_neg
+    # Hardest-negative triplet (per anchor cell): the balanced mean hinge is
+    # dominated by easy negatives and plateaus with weak descriptors
+    # (measured r05: homography-matching precision 0.25 under the hinge vs
+    # the SuperPoint-grade target ≥0.5) — the standard fix is to penalize
+    # only the hardest negative per anchor (HardNet / DISK practice).
+    pos_dot = jnp.max(jnp.where(s > 0, dot, -2.0), axis=2)          # [B, N]
+    neg_dot = jnp.max(jnp.where(s > 0, -2.0, dot), axis=2)          # [B, N]
+    has_pos = jnp.any(s > 0, axis=2)
+    trip = jnp.maximum(0.0, margin_neg + neg_dot - pos_dot) * has_pos
+    desc_loss = jnp.sum(trip) / jnp.maximum(jnp.sum(has_pos), 1.0)
 
     return det_loss + lambda_d * desc_loss, {"det": det_loss, "desc": desc_loss}
 
