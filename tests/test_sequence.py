@@ -273,6 +273,35 @@ class TestVOPipeline:
         )
         assert ate < 0.03 * span, f"ATE {ate} vs span {span}"
 
+    def test_chunked_vo_sharded_over_mesh(self):
+        """Fused chunked VO with a device mesh: the chunk batch shards over
+        the data axis (GSPMD partitions the vmapped solver) and the global
+        BA runs landmark-sharded — quality must match the single-device
+        path's bound on the 8-device virtual mesh."""
+        from feature_detector_tpu.parallel.mesh import make_mesh
+        from feature_detector_tpu.slam.sequence import run_visual_odometry_chunked
+
+        seq = make_synthetic_sequence(
+            n_frames=30, n_landmarks=500, seed=3, motion="lateral",
+            angle_step=0.03,
+        )
+        mesh = make_mesh((jax.device_count(),), ("data",))
+        result = run_visual_odometry_chunked(seq.images, seq.cam, mesh=mesh)
+        assert len(result.trajectory) == 30
+        ate = float(
+            evaluate.ate_rmse(
+                jnp.asarray(result.trajectory.positions),
+                jnp.asarray(seq.trajectory.positions),
+                with_scale=True,
+            )
+        )
+        span = float(
+            np.linalg.norm(
+                seq.trajectory.positions.max(0) - seq.trajectory.positions.min(0)
+            )
+        )
+        assert ate < 0.03 * span, f"ATE {ate} vs span {span}"
+
     def test_chunked_vo_legacy_path(self):
         """The r04 host-sequential submapping path stays available for A/B
         comparison behind legacy=True (loose drift-limited bound)."""
