@@ -210,6 +210,66 @@ def demo_nn(img2, out_dir):
         save_image(os.path.join(out_dir, f"{mt.name.lower()}_features.png"), rgb)
 
 
+def demo_vo(out_dir, n_frames=30, seed=3):
+    """Monocular VO demo: fused chunked pipeline on a synthetic lateral
+    sequence, top-down trajectory plot (estimate vs ground truth) + ATE."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..io.images import CYAN, GREEN, draw_line, draw_solid_circle, save_image
+    from ..slam import evaluate
+    from ..slam.sequence import make_synthetic_sequence, run_visual_odometry_chunked
+
+    seq = make_synthetic_sequence(
+        n_frames=n_frames, n_landmarks=500, seed=seed, motion="lateral",
+        angle_step=0.03,
+    )
+    t0 = time.perf_counter()
+    res = run_visual_odometry_chunked(seq.images, seq.cam)
+    wall = time.perf_counter() - t0
+    gt = seq.trajectory.positions
+    a = evaluate.umeyama_alignment(
+        jnp.asarray(res.trajectory.positions), jnp.asarray(gt), with_scale=True
+    )
+    est = (
+        float(a.scale) * res.trajectory.positions @ np.asarray(a.rotation).T
+        + np.asarray(a.translation)
+    )
+    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+    span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+    print(
+        f"vo: {n_frames} frames in {wall:.1f} s ({n_frames / wall:.1f} fps) | "
+        f"ATE {ate:.3f} m ({100 * ate / span:.2f}% of {span:.1f} m span) | "
+        f"{res.num_tracks} tracks"
+    )
+
+    # Top-down (x, z) plot: ground truth green, estimate cyan.
+    h, w = 480, 640
+    canvas = np.full((h, w, 3), 24, np.uint8)
+    allp = np.concatenate([gt, est])
+    lo, hi = allp.min(0), allp.max(0)
+    scale = 0.9 * min(w / max(hi[0] - lo[0], 1e-6), h / max(hi[2] - lo[2] + 1.0, 1e-6))
+
+    def to_px(p):
+        return (
+            int((p[0] - lo[0]) * scale + 0.05 * w),
+            int((p[2] - lo[2]) * scale + 0.5 * h),
+        )
+
+    for traj, color in ((gt, GREEN), (est, CYAN)):
+        for i in range(len(traj) - 1):
+            x0, y0 = to_px(traj[i])
+            x1, y1 = to_px(traj[i + 1])
+            draw_line(canvas, x0, y0, x1, y1, color)
+        for i in range(len(traj)):
+            x0, y0 = to_px(traj[i])
+            draw_solid_circle(canvas, x0, y0, 2, color)
+    save_image(os.path.join(out_dir, "vo_trajectory.png"), canvas)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", default="/tmp/fd_demo")
@@ -217,7 +277,8 @@ def main(argv=None):
     parser.add_argument("--image2", default="/root/reference/examples/image2.png")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument(
-        "--demo", default="all", choices=["all", "points", "descriptor", "lines", "nn"]
+        "--demo", default="all",
+        choices=["all", "points", "descriptor", "lines", "nn", "vo"],
     )
     args = parser.parse_args(argv)
 
@@ -240,6 +301,8 @@ def main(argv=None):
         demo_lines(img, args.out)
     if args.demo in ("all", "nn"):
         demo_nn(img2, args.out)
+    if args.demo in ("all", "vo"):
+        demo_vo(args.out)
     print(f"outputs in {args.out}")
 
 

@@ -88,3 +88,28 @@ class TestPnP:
             r, t = geometry.pnp_refine(r, t, jnp.asarray(pts), jnp.asarray(uv_b), w, CAM)
         np.testing.assert_allclose(np.asarray(r), r_b, atol=1e-4)
         np.testing.assert_allclose(np.asarray(t), t_b, atol=1e-4)
+
+
+class TestEpipolarGate:
+    def test_recovers_inliers_under_outliers(self):
+        """epipolar_inlier_gate (the fused VO's cheap match gate) must keep
+        the true correspondences and reject gross mismatches."""
+        pts, r_b, t_b, uv_a, uv_b = _scene(seed=4, n=96)
+        rng = np.random.default_rng(5)
+        uv_b = uv_b.copy()
+        bad = rng.choice(96, size=20, replace=False)
+        uv_b[bad] += rng.uniform(15, 60, size=(20, 2)) * np.sign(
+            rng.normal(size=(20, 2))
+        )
+        valid = np.ones(96, bool)
+        inl = np.asarray(
+            geometry.epipolar_inlier_gate(
+                jnp.asarray(uv_a), jnp.asarray(uv_b), jnp.asarray(valid), CAM
+            )
+        )
+        good = np.ones(96, bool)
+        good[bad] = False
+        # Essentially all clean matches survive; corrupted ones mostly die
+        # (a mismatch may rarely land near an epipolar line).
+        assert inl[good].mean() >= 0.9, inl[good].mean()
+        assert inl[bad].mean() <= 0.25, inl[bad].mean()
