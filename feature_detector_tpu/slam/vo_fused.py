@@ -538,10 +538,14 @@ def run_visual_odometry_fused(
     # Long offsets matter: 1..4 alone leaves a low-frequency trajectory
     # bending mode that reprojection barely constrains (every BA schedule
     # converged to the same 2.3%-of-span bend on the worst bench seed);
-    # wide-baseline matches at offsets 8 and 16 stiffen exactly that mode
-    # (measured: worst-seed ATE 2.28% -> 0.23%).  Offsets beyond ~16 start
-    # returning enough wrong matches to cost track quality.
-    match_offsets: Tuple[int, ...] = (1, 2, 3, 4, 8, 16),
+    # wide-baseline matches at offsets 8+ stiffen exactly that mode
+    # (measured at 120 frames: worst-seed ATE 2.28% -> 0.23% with offsets
+    # 8+16; at 240 frames adding offset 32 took 2.95% -> 1.87%).  Default
+    # None = adaptive ladder (1,2,3,4) + powers of two up to max(16, n/8):
+    # the widest offset scales with the span the bending mode lives on,
+    # while offsets far beyond the landmark-visibility window only add
+    # wrong matches (240-frame: +48 measured slightly worse).
+    match_offsets: Optional[Tuple[int, ...]] = None,
 ):
     """Fused chunked VO (see module docstring).  Returns a VOResult covering
     every input frame; drop-in for the legacy run_visual_odometry_chunked."""
@@ -575,6 +579,13 @@ def run_visual_odometry_fused(
             subpixel=True,
         )
     n = len(images)
+    if match_offsets is None:
+        offs = [1, 2, 3, 4]
+        o = 8
+        while o <= max(16, n // 8):
+            offs.append(o)
+            o *= 2
+        match_offsets = tuple(offs)
     capacity = det_opts.max_features
     imgs = jnp.asarray(images)
 
