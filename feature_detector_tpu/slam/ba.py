@@ -682,7 +682,64 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
     def step_sharded(rot, trans, points, obs_cam, obs_uv):
         n_cams = rot.shape[0]
 
+        def lm_round_fused(rot, trans, points, obs_w, ropts):
+            """Landmark-psum LM loop at ONE collective per iteration.
+
+            The candidate's reduced system AND its cost reduce in the same
+            psum; the accepted state's system is carried in the loop state so
+            a rejected step re-solves it (with the raised lambda) without any
+            collective.  Semantically identical to the 2-psum loop — the
+            assemble of an unchanged state is deterministic — but rendezvous
+            count per solve drops from 2·iters+1 to iters+1, which is the
+            binding constraint of weak scaling on collective-latency-bound
+            meshes (the virtual-CPU harness, DCN between pod slices).
+            """
+            n6 = 6 * n_cams
+
+            def assemble_packed(rot, trans, points):
+                S, b, *aux = _assemble(
+                    rot, trans, points, obs_cam, obs_uv, cam, ropts, n_cams, obs_w
+                )
+                c_loc = _cost(rot, trans, points, obs_cam, obs_uv, cam, ropts, obs_w)
+                packed = jax.lax.psum(
+                    jnp.concatenate([S.reshape(-1), b, c_loc[None]]), axis
+                )
+                return (
+                    packed[: n6 * n6].reshape(n6, n6),
+                    packed[n6 * n6 : -1],
+                    tuple(aux),
+                    packed[-1],
+                )
+
+            S0, b0, aux0, cost0 = assemble_packed(rot, trans, points)
+
+            def body(_, state):
+                rot, trans, points, lam, cost, S_cur, b_cur, aux_cur = state
+                rot2, trans2, points2, _ = _solve_and_update(
+                    rot, trans, points, S_cur, b_cur, *aux_cur, ropts, lam
+                )
+                S2, b2, aux2, cost2 = assemble_packed(rot2, trans2, points2)
+                accept = cost2 < cost
+                pick = lambda a, b: jax.tree.map(
+                    lambda x, y: jnp.where(accept, x, y), a, b
+                )
+                rot, trans, points = pick((rot2, trans2, points2), (rot, trans, points))
+                S_cur, b_cur, aux_cur = pick((S2, b2, aux2), (S_cur, b_cur, aux_cur))
+                lam = jnp.where(accept, lam * ropts.damping_down, lam * ropts.damping_up)
+                lam = jnp.clip(lam, 1e-9, 1e3)
+                cost = jnp.where(accept, cost2, cost)
+                return rot, trans, points, lam, cost, S_cur, b_cur, aux_cur
+
+            rot, trans, points, _, _, _, _, _ = jax.lax.fori_loop(
+                0, ropts.max_iterations, body,
+                (rot, trans, points, jnp.float32(ropts.damping), cost0, S0, b0, aux0),
+            )
+            return rot, trans, points
+
         def lm_round(rot, trans, points, obs_w, ropts):
+            if not camera_shard:
+                return lm_round_fused(rot, trans, points, obs_w, ropts)
+
             def cost_r(rot, trans, points):
                 return jax.lax.psum(
                     _cost(rot, trans, points, obs_cam, obs_uv, cam, ropts, obs_w), axis
@@ -723,20 +780,6 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
                     dx_cam = dx[:n6].reshape(n_cams, 6)
                     rot2, trans2, points2 = _apply_dx(
                         rot, trans, points, dx_cam, Hpp_inv, bp, W, valid, cam_idx
-                    )
-                else:
-                    # Fused psum of S and b: every collective is a
-                    # cross-device rendezvous, and at 2 per LM iteration
-                    # the barrier count — not payload — bounded weak
-                    # scaling on the virtual CPU mesh (measured 0.38 ->
-                    # 0.51 efficiency from this fusion alone).
-                    packed = jax.lax.psum(
-                        jnp.concatenate([S.reshape(-1), b]), axis
-                    )
-                    S = packed[: n6 * n6].reshape(n6, n6)
-                    b = packed[n6 * n6 :]
-                    rot2, trans2, points2, _ = _solve_and_update(
-                        rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, ropts, lam
                     )
                 new_cost = cost_r(rot2, trans2, points2)
                 accept = new_cost < cost
