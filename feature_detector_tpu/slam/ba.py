@@ -58,6 +58,18 @@ def _x64_scope():
     return jax.enable_x64() if _x64_supported() else contextlib.nullcontext()
 
 
+def _x64_active() -> bool:
+    """Whether x64 is enabled for the CURRENT trace (part of jit cache keys).
+
+    The promotion sites gate on this rather than on the backend: a caller
+    that traces WITHOUT `_x64_scope` (e.g. the fused VO's chunk solver,
+    whose geometry code paths do not pin dtypes and must stay f32) then
+    gets the f32 + iterative-refinement path on every backend, instead of
+    silently losing both f64 and refinement.
+    """
+    return bool(jax.config.jax_enable_x64)
+
+
 def _d(x):
     """Promote to f64 for the small dense solves (backend-permitting).
 
@@ -70,7 +82,7 @@ def _d(x):
     below every accept/reject threshold.  On TPU (no f64 LU in XLA) this is
     a no-op and the solver runs f32 + iterative refinement instead.
     """
-    return x.astype(jnp.float64) if _x64_supported() else x
+    return x.astype(jnp.float64) if _x64_active() else x
 
 
 def _f(x):
@@ -230,7 +242,7 @@ def _solve_and_update(rot, trans, points, S, b, Hpp_inv, bp, W, valid, cam_idx, 
     # step recovers most of the digits f64 would have bought.
     Sd, bd = _d(S), _d(b)
     dx = jax.scipy.linalg.solve(Sd, bd)
-    if not _x64_supported():
+    if not _x64_active():
         dx = dx + jax.scipy.linalg.solve(Sd, bd - Sd @ dx)
     dx_cam = _f(dx).reshape(n_cams, 6)
     rot2, trans2 = se3_update(rot, trans, dx_cam)
@@ -434,7 +446,11 @@ def _relandmark(rot, trans, points, obs_cam, obs_uv, cam: Pinhole, gate_px: floa
     ry = (obs_uv[..., 1] - cam.cy) / cam.fy
     rays_c = jnp.stack([rx, ry, jnp.ones_like(rx)], -1)  # [L, D, 3]
     rays_w = jnp.einsum("ldji,ldj->ldi", R, rays_c)
-    rays_w = rays_w / jnp.linalg.norm(rays_w, axis=-1, keepdims=True)
+    # Clamped normalization (keep in sync with vo_fused.midpoint_triangulate,
+    # which builds the same M = I - r r^T machinery).
+    rays_w = rays_w / jnp.maximum(
+        jnp.linalg.norm(rays_w, axis=-1, keepdims=True), 1e-12
+    )
 
     # Midpoint triangulation normal equations: Σ_d (I - r_d r_dᵀ) x = Σ_d (I - r_d r_dᵀ) c_d
     # over any observation subset.  Invalid slots contribute zero.
@@ -695,9 +711,14 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
             meshes (the virtual-CPU harness, DCN between pod slices).
             """
             n6 = 6 * n_cams
+            # valid/cam_idx are pure functions of obs_cam — hoisted out of
+            # the carried loop state (only the state-dependent Hpp_inv/bp/W
+            # ride along and get where-selected on accept/reject).
+            valid_c = obs_cam >= 0
+            cam_idx_c = jnp.clip(obs_cam, 0, n_cams - 1)
 
             def assemble_packed(rot, trans, points):
-                S, b, *aux = _assemble(
+                S, b, Hpp_inv, bp, W, _, _ = _assemble(
                     rot, trans, points, obs_cam, obs_uv, cam, ropts, n_cams, obs_w
                 )
                 c_loc = _cost(rot, trans, points, obs_cam, obs_uv, cam, ropts, obs_w)
@@ -707,7 +728,7 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
                 return (
                     packed[: n6 * n6].reshape(n6, n6),
                     packed[n6 * n6 : -1],
-                    tuple(aux),
+                    (Hpp_inv, bp, W),
                     packed[-1],
                 )
 
@@ -716,7 +737,8 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
             def body(_, state):
                 rot, trans, points, lam, cost, S_cur, b_cur, aux_cur = state
                 rot2, trans2, points2, _ = _solve_and_update(
-                    rot, trans, points, S_cur, b_cur, *aux_cur, ropts, lam
+                    rot, trans, points, S_cur, b_cur, *aux_cur,
+                    valid_c, cam_idx_c, ropts, lam,
                 )
                 S2, b2, aux2, cost2 = assemble_packed(rot2, trans2, points2)
                 accept = cost2 < cost
@@ -740,6 +762,7 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
             if not camera_shard:
                 return lm_round_fused(rot, trans, points, obs_w, ropts)
 
+            # Camera-axis-sharded path (reduce-scatter + distributed CG).
             def cost_r(rot, trans, points):
                 return jax.lax.psum(
                     _cost(rot, trans, points, obs_cam, obs_uv, cam, ropts, obs_w), axis
@@ -751,36 +774,35 @@ def make_distributed_ba(mesh: Mesh, cam: Pinhole, opts: BAOptions = BAOptions(),
                     rot, trans, points, obs_cam, obs_uv, cam, ropts, n_cams, obs_w
                 )
                 n6 = 6 * n_cams
-                if camera_shard:
-                    # Keyframe/camera-axis partitioning: reduce-scatter the
-                    # system's ROW BLOCKS (each device receives only its
-                    # rows, summed over landmark shards) and solve by
-                    # distributed CG — no device holds the full Hessian.
-                    n_dev = mesh.shape[axis]
-                    n6p = ((n6 + n_dev - 1) // n_dev) * n_dev
-                    rows_loc = n6p // n_dev
-                    # Pad BOTH axes to n6p (zero columns for the pad block):
-                    # the CG vectors are all-gathered to length n6p, so the
-                    # local matvec needs [rows_loc, n6p] row blocks — with
-                    # columns left at n6, any device count that does not
-                    # divide 6*n_cams failed at trace time (dot_general
-                    # contracting-dimension mismatch).
-                    S_pad = jnp.pad(S, ((0, 0), (0, n6p - n6)))
-                    sys_rows = jnp.concatenate([S_pad, b[:, None]], axis=1)
-                    sys_rows = jnp.pad(sys_rows, ((0, n6p - n6), (0, 0)))
-                    local = jax.lax.psum_scatter(
-                        sys_rows, axis, scatter_dimension=0, tiled=True
-                    )                                      # [rows_loc, n6p+1]
-                    row0 = jax.lax.axis_index(axis) * rows_loc
-                    nf = max(1, min(opts.num_fixed_cameras, n_cams))
-                    S_loc, b_loc, diag_loc = _gauge_damp_rows(
-                        local[:, :n6p], local[:, n6p], row0, n6, lam, nf
-                    )
-                    dx = _cg_solve_sharded(S_loc, b_loc, diag_loc, axis, cg_iterations)
-                    dx_cam = dx[:n6].reshape(n_cams, 6)
-                    rot2, trans2, points2 = _apply_dx(
-                        rot, trans, points, dx_cam, Hpp_inv, bp, W, valid, cam_idx
-                    )
+                # Keyframe/camera-axis partitioning: reduce-scatter the
+                # system's ROW BLOCKS (each device receives only its rows,
+                # summed over landmark shards) and solve by distributed CG —
+                # no device holds the full Hessian.
+                n_dev = mesh.shape[axis]
+                n6p = ((n6 + n_dev - 1) // n_dev) * n_dev
+                rows_loc = n6p // n_dev
+                # Pad BOTH axes to n6p (zero columns for the pad block):
+                # the CG vectors are all-gathered to length n6p, so the
+                # local matvec needs [rows_loc, n6p] row blocks — with
+                # columns left at n6, any device count that does not
+                # divide 6*n_cams failed at trace time (dot_general
+                # contracting-dimension mismatch).
+                S_pad = jnp.pad(S, ((0, 0), (0, n6p - n6)))
+                sys_rows = jnp.concatenate([S_pad, b[:, None]], axis=1)
+                sys_rows = jnp.pad(sys_rows, ((0, n6p - n6), (0, 0)))
+                local = jax.lax.psum_scatter(
+                    sys_rows, axis, scatter_dimension=0, tiled=True
+                )                                      # [rows_loc, n6p+1]
+                row0 = jax.lax.axis_index(axis) * rows_loc
+                nf = max(1, min(opts.num_fixed_cameras, n_cams))
+                S_loc, b_loc, diag_loc = _gauge_damp_rows(
+                    local[:, :n6p], local[:, n6p], row0, n6, lam, nf
+                )
+                dx = _cg_solve_sharded(S_loc, b_loc, diag_loc, axis, cg_iterations)
+                dx_cam = dx[:n6].reshape(n_cams, 6)
+                rot2, trans2, points2 = _apply_dx(
+                    rot, trans, points, dx_cam, Hpp_inv, bp, W, valid, cam_idx
+                )
                 new_cost = cost_r(rot2, trans2, points2)
                 accept = new_cost < cost
                 rot = jnp.where(accept, rot2, rot)

@@ -381,6 +381,7 @@ def _pose_graph_refine(
     chunk_scales: np.ndarray,
     chunk_ok: np.ndarray,
     starts: List[int],
+    rel_k: Optional[np.ndarray] = None,
     pg_iterations: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """SE(3) pose graph over frames from per-chunk relative-pose edges.
@@ -401,9 +402,15 @@ def _pose_graph_refine(
         # Chunk-local camera-to-world poses in the composed gauge's scale.
         r_cw = np.transpose(chunk_rots[k], (0, 2, 1))          # [Fc, 3, 3]
         c = chunk_centers[k] * chunk_scales[k]                  # [Fc, 3]
+        rel = rel_k[k] if rel_k is not None else np.ones(Fc, bool)
         for off in (1, 2):
             for fa in range(Fc - off):
                 fb = fa + off
+                # Frozen-tail frames were excluded from composition because
+                # their chunk-local poses are wrong — emitting their relative
+                # poses as edges would pull the graph right back to them.
+                if not (rel[fa] and rel[fb]):
+                    continue
                 # T_a^-1 T_b in camera-to-world convention.
                 ra, ta = r_cw[fa].T, -r_cw[fa].T @ c[fa]
                 rr = ra @ r_cw[fb]
@@ -579,6 +586,12 @@ def run_visual_odometry_fused(
             subpixel=True,
         )
     n = len(images)
+    # Self-contained guard (the sequence.py wrapper also routes short
+    # sequences away, but this entry is public): a single whole-sequence
+    # chunk when n <= chunk — the negative start appended below otherwise
+    # indexes past/backwards into the n-sized trajectory arrays.
+    if n <= chunk:
+        chunk, overlap = n, 0
     if match_offsets is None:
         offs = [1, 2, 3, 4]
         o = 8
@@ -708,6 +721,7 @@ def run_visual_odometry_fused(
     chunk_scales = np.ones(K, np.float32)
     san_rots = np.zeros_like(c_rots)
     san_centers = np.zeros((K, chunk, 3), np.float32)
+    rel_k = np.ones((K, chunk), bool)
     all_points = []
     prev_sc = 1.0
     for k, s in enumerate(starts):
@@ -716,6 +730,7 @@ def run_visual_odometry_fused(
         san_rots[k] = rot_l
         san_centers[k] = c_loc
         rel = reliable_frame_prefix(c_loc)
+        rel_k[k] = rel
         if not c_ok[k]:
             report_warn(
                 "chunked VO: chunk at start %d failed init — holding last "
@@ -826,7 +841,8 @@ def run_visual_odometry_fused(
     # --- 6. pose-graph refinement over the composed trajectory ------------
     if pose_graph and K > 1:
         rots_g, centers_g = _pose_graph_refine(
-            rots_g, centers_g, san_rots, san_centers, chunk_scales, c_ok, starts
+            rots_g, centers_g, san_rots, san_centers, chunk_scales, c_ok,
+            starts, rel_k,
         )
         _mark("pose-graph")
 
