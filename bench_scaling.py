@@ -170,19 +170,25 @@ def _spawn_concurrent(role: str, n: int):
     costs — BA's working set streams from RAM, which the compute-bound
     rendezvous probe cannot capture."""
     procs = []
-    for i in range(n):
-        cmd = ["taskset", "-c", str(i), sys.executable, os.path.abspath(__file__),
-               "--role", role, "--devices", "1"]
-        procs.append(subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
-        ))
-    rates = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        if p.returncode != 0:
-            raise RuntimeError(f"concurrent {role} failed: {err[-500:]}")
-        rates.extend(json.loads(out.strip().splitlines()[-1])["rates"])
-    return rates
+    try:
+        for i in range(n):
+            cmd = ["taskset", "-c", str(i), sys.executable,
+                   os.path.abspath(__file__), "--role", role, "--devices", "1"]
+            procs.append(subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+            ))
+        rates = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            if p.returncode != 0:
+                raise RuntimeError(f"concurrent {role} failed: {err[-500:]}")
+            rates.extend(json.loads(out.strip().splitlines()[-1])["rates"])
+        return rates
+    finally:
+        # Never leak pinned workers when a sibling fails or times out.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
 
 def _stats(rates):
@@ -224,11 +230,13 @@ def main():
     out["ba_efficiency_vs_ceiling"] = round(
         out["ba_weak_scaling_efficiency"] / max(ceiling, 1e-9), 3
     )
-    # Back-compat keys consumed by earlier dashboards.
+    # Convenience scalar keys (median rates; the workload is 16384
+    # landmarks per device — keys renamed when the load doubled so r<=4
+    # dashboards don't read a 2x-slower solve as a regression).
     out["frontend_fps_1dev_1core"] = round(med["fe"][0], 2)
     out["frontend_fps_Ndev_Ncore"] = round(med["fe"][1], 2)
-    out["ba_solves_s_1dev_8k_landmarks"] = round(med["ba"][0], 2)
-    out["ba_solves_s_Ndev_8k_per_dev"] = round(med["ba"][1], 2)
+    out["ba_solves_s_1dev_16k_landmarks"] = round(med["ba"][0], 2)
+    out["ba_solves_s_Ndev_16k_per_dev"] = round(med["ba"][1], 2)
     print(json.dumps(out))
 
 

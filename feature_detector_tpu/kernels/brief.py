@@ -184,7 +184,11 @@ def brief_compute_mxu(
     # this kernel at 30-40% MXU utilization with the one-hot build
     # bandwidth as the cause — VERDICT r4 weak #8).
     iota_p = jnp.arange(PATCH, dtype=jnp.int32)
-    img_s8 = (image.astype(jnp.int32) - 128).astype(jnp.int8)
+    # NB build from ``img`` (the pre-blurred, integer-rounded image), NOT the
+    # raw input — blur_sigma was silently a no-op on this path when the int8
+    # rewrite first landed.  _preblur rounds to integers in [0, 255], so the
+    # -128 shift still lands exactly in s8.
+    img_s8 = (img.astype(jnp.int32) - 128).astype(jnp.int8)
     col_sel = (
         jax.lax.broadcasted_iota(jnp.int32, (n, cols, PATCH), 1)
         == (xs - PATCH_HALF)[:, None, None] + iota_p[None, None, :]

@@ -366,9 +366,13 @@ def _lines_impl(
     # reduction below would otherwise stream the FULL grid per candidate
     # ([K, N] one-hot + extent passes were ~16 ms of the 28 ms LSD frame).
     # A cumsum-scatter compaction packs the valid pixels into a fixed
-    # ``opts.max_fit_pixels`` buffer; valid pixels beyond the cap (none on
-    # either example image at the default — it carries 2-6x headroom) are
-    # dropped from the FIT only, a documented capacity bound like max_lines.
+    # ``opts.max_fit_pixels`` buffer.  CAPACITY BOUND (like max_lines):
+    # valid pixels beyond the cap — raster order — vanish from everything
+    # downstream of the flood (candidate counts, moments, extents), so an
+    # overflowing image loses detections in its lower rows.  The default
+    # carries 2-6x headroom at the reference's maximum image size
+    # (480x752, nn_feature_point_detector.h:25-26); raise it for larger
+    # frames.
     seg_full = jnp.where(labels >= 0, labels, n_seg).reshape(-1)
     occupied_full = (labels >= 0).reshape(-1)
     Mcap = int(opts.max_fit_pixels)

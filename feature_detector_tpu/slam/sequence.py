@@ -61,14 +61,38 @@ def quat_to_rot(q: np.ndarray) -> np.ndarray:
 
 
 def rot_to_quat(r: np.ndarray) -> np.ndarray:
-    """[..., 3, 3] rotation → [..., 4] quaternion (x, y, z, w)."""
+    """[..., 3, 3] rotation → [..., 4] quaternion (x, y, z, w).
+
+    Branches on the largest of (trace, R00, R11, R22) per matrix — the
+    w-trace-only formula degenerates (divides by w → 0) for rotations at or
+    near 180°, which are routine camera attitudes in real EuRoC/TUM
+    trajectories."""
     r = np.asarray(r, np.float64)
-    t = np.trace(r, axis1=-2, axis2=-1)
-    w = np.sqrt(np.maximum(1.0 + t, 1e-12)) / 2.0
-    x = (r[..., 2, 1] - r[..., 1, 2]) / (4.0 * w)
-    y = (r[..., 0, 2] - r[..., 2, 0]) / (4.0 * w)
-    z = (r[..., 1, 0] - r[..., 0, 1]) / (4.0 * w)
-    return np.stack([x, y, z, w], axis=-1).astype(np.float32)
+    shape = r.shape[:-2]
+    rf = r.reshape(-1, 3, 3)
+    q = np.empty((len(rf), 4))
+    t = np.trace(rf, axis1=-2, axis2=-1)
+    cands = np.stack([t, rf[:, 0, 0], rf[:, 1, 1], rf[:, 2, 2]], axis=1)
+    case = np.argmax(cands, axis=1)
+    for i, m in enumerate(rf):
+        if case[i] == 0:
+            s = 2.0 * np.sqrt(max(1.0 + t[i], 1e-12))
+            q[i] = [(m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s,
+                    (m[1, 0] - m[0, 1]) / s, 0.25 * s]
+        elif case[i] == 1:
+            s = 2.0 * np.sqrt(max(1.0 + m[0, 0] - m[1, 1] - m[2, 2], 1e-12))
+            q[i] = [0.25 * s, (m[0, 1] + m[1, 0]) / s,
+                    (m[0, 2] + m[2, 0]) / s, (m[2, 1] - m[1, 2]) / s]
+        elif case[i] == 2:
+            s = 2.0 * np.sqrt(max(1.0 + m[1, 1] - m[0, 0] - m[2, 2], 1e-12))
+            q[i] = [(m[0, 1] + m[1, 0]) / s, 0.25 * s,
+                    (m[1, 2] + m[2, 1]) / s, (m[0, 2] - m[2, 0]) / s]
+        else:
+            s = 2.0 * np.sqrt(max(1.0 + m[2, 2] - m[0, 0] - m[1, 1], 1e-12))
+            q[i] = [(m[0, 2] + m[2, 0]) / s, (m[1, 2] + m[2, 1]) / s,
+                    0.25 * s, (m[1, 0] - m[0, 1]) / s]
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q.reshape(*shape, 4).astype(np.float32)
 
 
 @dataclasses.dataclass
@@ -605,7 +629,16 @@ def run_visual_odometry_chunked(
     """
     n = len(images)
     if n <= chunk:
-        return run_visual_odometry(images, cam, **kwargs)
+        if legacy:
+            # Short-window sequential pipeline accepts only its own kwargs.
+            import inspect
+
+            allowed = set(inspect.signature(run_visual_odometry).parameters)
+            return run_visual_odometry(
+                images, cam, **{k: v for k, v in kwargs.items() if k in allowed}
+            )
+        # The fused path handles n <= chunk itself (single whole-sequence
+        # chunk) — fall through so fused-only kwargs keep working.
     if not legacy:
         import inspect
 
@@ -1095,7 +1128,13 @@ def _pair_ransac_jit(cam: Pinhole):
     """Cached vmapped epipolar-RANSAC inlier gate over a stack of frame
     pairs: ONE device dispatch per match offset instead of one per frame
     pair — the sequential per-pair calls each paid a host-device round trip
-    (~25 ms on the tunneled chip), dominating chunked-VO wall clock."""
+    (~25 ms on the tunneled chip), dominating chunked-VO wall clock.
+
+    DELIBERATELY kept on the full two_view_init inlier mask rather than the
+    cheaper geometry.epipolar_inlier_gate the fused path uses: this legacy
+    short-window pipeline's basin-sensitive thresholds were calibrated
+    against these exact inlier sets, and its sequences are short enough
+    that the extra cost is irrelevant."""
 
     @jax.jit
     def gate(uv_a, uv_b, valid):
@@ -1197,11 +1236,6 @@ def run_visual_odometry(
     uv_np = np.asarray(feats.uv)
     valid_np = np.asarray(feats.valid)
 
-    # Match frame pairs at offsets 1 AND 2: skip-frame pairs bridge
-    # single-frame detection dropouts (a corner that loses its per-patch NMS
-    # race in one frame re-appears in the next), roughly doubling mean track
-    # length — which is what couples inter-frame scale along the camera
-    # chain and keeps monocular BA out of the scale-drift flat direction.
     pair_matches: List[Tuple[int, int, np.ndarray]] = []
     # Offsets 1..4: every extra offset lengthens tracks (a corner that loses
     # its NMS race in one frame re-appears later), and track length is what

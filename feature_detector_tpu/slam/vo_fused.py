@@ -522,11 +522,16 @@ def run_visual_odometry_fused(
     detector_kind: str = "harris",
     needed_features: int = 200,
     det_opts: Optional[DetectorOptions] = None,
-    # Upright + pre-blurred descriptors (see run_visual_odometry / the
-    # BriefOptions docstrings): the carry rate and match-inlier count are
-    # what set track length, and track length is what couples scale across
-    # chunks in the global BA.
-    brief_opts: BriefOptions = BriefOptions(upright=True, blur_sigma=2.0),
+    # Upright descriptors WITHOUT pre-blur.  Upright buys ~30 Hamming bits
+    # of adjacent-frame repeatability (see BriefOptions).  Blur was measured
+    # BOTH ways at the system level: it buys ~25 more bits frame-to-frame
+    # but costs DISTINCTIVENESS, and the wide-baseline offsets (8/16/32)
+    # that pin the trajectory's bending mode then admit epipolar-consistent
+    # wrong matches — 120-frame bench ATE 0.67% unblurred vs 15.6% blurred
+    # on the same seed.  (An earlier defaults bug made blur a silent no-op
+    # on the MXU path, so the tuned system always ran unblurred; when the
+    # bug was fixed the A/B above made the choice explicit.)
+    brief_opts: BriefOptions = BriefOptions(upright=True),
     match_opts: MatcherOptions = MatcherOptions(ratio=0.85, max_distance=80),
     ba_opts: BAOptions = BAOptions(
         max_iterations=12, huber_delta=2.0, gate_px=3.0, gate_rounds=2
