@@ -340,3 +340,82 @@ class TestVOPipeline:
                 )
             )
             assert ate < 0.05, f"ATE {ate}"
+
+
+class TestFusedVOEdgeCases:
+    def test_blank_images_degrade_gracefully(self):
+        """Featureless input (no corners anywhere): the fused pipeline must
+        return a finite trajectory (held poses) instead of crashing — every
+        stage's degeneracy guard chain gets exercised."""
+        from feature_detector_tpu.slam.camera import Pinhole
+        from feature_detector_tpu.slam.vo_fused import run_visual_odometry_fused
+
+        cam = Pinhole(fx=288.0, fy=288.0, cx=160.0, cy=120.0)
+        blank = np.full((14, 240, 320), 57, np.uint8)
+        res = run_visual_odometry_fused(blank, cam)
+        assert len(res.trajectory) == 14
+        assert np.isfinite(res.trajectory.positions).all()
+        assert res.num_tracks == 0
+
+    def test_boundary_length_just_over_chunk(self):
+        """n = chunk + 1 exercises the clamped-last-start path."""
+        from feature_detector_tpu.slam.vo_fused import run_visual_odometry_fused
+
+        seq = make_synthetic_sequence(
+            n_frames=13, n_landmarks=300, seed=3, motion="lateral",
+            angle_step=0.03,
+        )
+        res = run_visual_odometry_fused(seq.images, seq.cam)
+        assert len(res.trajectory) == 13
+        assert np.isfinite(res.trajectory.positions).all()
+
+    def test_short_sequence_direct_fused_entry(self):
+        """n < chunk through the PUBLIC fused entry (not the wrapper): the
+        single-whole-sequence-chunk guard (review fix) must hold."""
+        from feature_detector_tpu.slam import evaluate
+        from feature_detector_tpu.slam.vo_fused import run_visual_odometry_fused
+
+        seq = make_synthetic_sequence(
+            n_frames=10, n_landmarks=300, seed=3, motion="lateral",
+            angle_step=0.03,
+        )
+        res = run_visual_odometry_fused(seq.images, seq.cam)
+        ate = float(
+            evaluate.ate_rmse(
+                jnp.asarray(res.trajectory.positions),
+                jnp.asarray(seq.trajectory.positions),
+                with_scale=True,
+            )
+        )
+        span = float(
+            np.linalg.norm(
+                seq.trajectory.positions.max(0) - seq.trajectory.positions.min(0)
+            )
+        )
+        assert ate < 0.05 * span, f"ATE {ate} vs span {span}"
+
+    def test_fused_only_kwargs_on_short_sequence(self):
+        """Fused-only kwargs must not TypeError when n <= chunk through the
+        wrapper (review fix: per-path kwarg filtering)."""
+        from feature_detector_tpu.slam.sequence import run_visual_odometry_chunked
+
+        seq = make_synthetic_sequence(
+            n_frames=8, n_landmarks=300, seed=3, motion="lateral",
+            angle_step=0.03,
+        )
+        res = run_visual_odometry_chunked(seq.images, seq.cam, pose_graph=False)
+        assert np.isfinite(res.trajectory.positions).all()
+
+
+class TestQuatEdgeCases:
+    def test_rot_to_quat_180_degrees(self):
+        """180-degree rotations (trace = -1) round-trip exactly — the
+        w-branch-only formula returned garbage here (review fix)."""
+        axes = np.eye(3, dtype=np.float32)
+        rots = []
+        for a in axes:
+            rots.append(np.asarray(lie.so3_exp(jnp.asarray(a * np.pi)), np.float32))
+        rots = np.stack(rots)
+        q = rot_to_quat(rots)
+        back = quat_to_rot(q)
+        np.testing.assert_allclose(back, rots, atol=1e-5)
