@@ -1166,10 +1166,10 @@ def run_visual_odometry(
     detector_kind: str = "harris",
     needed_features: int = 200,
     det_opts: Optional[DetectorOptions] = None,
-    # NOTE: the fused long-sequence pipeline (vo_fused) defaults to upright
-    # pre-blurred descriptors instead — a large repeatability win there.
-    # This short-window path keeps the steered defaults its carry gates and
-    # thresholds were calibrated against.
+    # NOTE: the fused long-sequence pipeline (vo_fused) defaults to UPRIGHT
+    # descriptors instead (a large repeatability win there; see its default
+    # for the blur A/B outcome).  This short-window path keeps the steered
+    # defaults its carry gates and thresholds were calibrated against.
     brief_opts: BriefOptions = BriefOptions(),
     match_opts: MatcherOptions = MatcherOptions(ratio=0.85),
     ba_opts: BAOptions = BAOptions(

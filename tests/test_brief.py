@@ -208,3 +208,71 @@ class TestHammingMatcher:
             MatcherOptions(max_distance=256),
         )
         assert not np.asarray(m.valid)[~valid].any()
+
+
+class TestBlurAndUpright:
+    def test_blur_changes_mxu_descriptors(self, image):
+        """blur_sigma must actually reach the MXU path's patch extraction —
+        it was once a silent no-op there (the int8 rewrite read the raw
+        image), which let the VO tune itself against phantom settings."""
+        import jax.numpy as jnp
+
+        from feature_detector_tpu.core.config import BriefOptions, DetectorOptions
+        from feature_detector_tpu.core.types import Features
+        from feature_detector_tpu.frontend.detector import detect_good_features
+        from feature_detector_tpu.kernels.brief import brief_compute
+
+        opts = DetectorOptions(min_feature_distance=10, min_valid_response=10.0)
+        feats = detect_good_features(
+            jnp.asarray(image), Features.empty(256), "fast", 150, opts
+        )
+        w0, v0 = brief_compute(
+            jnp.asarray(image), feats.uv, feats.valid, BriefOptions()
+        )
+        w2, v2 = brief_compute(
+            jnp.asarray(image), feats.uv, feats.valid,
+            BriefOptions(blur_sigma=2.0),
+        )
+        both = np.asarray(v0) & np.asarray(v2)
+        assert both.sum() >= 10
+        assert not np.array_equal(np.asarray(w0)[both], np.asarray(w2)[both])
+
+    def test_upright_matches_zero_angle_steered(self, image):
+        """Upright must equal the steered path evaluated at bin 0 for patches
+        whose centroid angle falls in bin 0 — it is the same sampling matrix
+        column block, not a different descriptor."""
+        import jax.numpy as jnp
+
+        from feature_detector_tpu.core.config import BriefOptions, DetectorOptions
+        from feature_detector_tpu.core.types import Features
+        from feature_detector_tpu.frontend.detector import detect_good_features
+        from feature_detector_tpu.kernels.brief import brief_compute
+        from feature_detector_tpu.oracle import brief as obrief
+
+        opts = DetectorOptions(min_feature_distance=10, min_valid_response=10.0)
+        feats = detect_good_features(
+            jnp.asarray(image), Features.empty(256), "fast", 150, opts
+        )
+        wu, vu = brief_compute(
+            jnp.asarray(image), feats.uv, feats.valid,
+            BriefOptions(upright=True),
+        )
+        ws, vs = brief_compute(
+            jnp.asarray(image), feats.uv, feats.valid, BriefOptions()
+        )
+        # Per-feature steering bins from the oracle's moment formula.
+        uv = np.asarray(feats.uv)
+        valid = np.asarray(feats.valid) & np.asarray(vu) & np.asarray(vs)
+        same = []
+        for i in np.nonzero(valid)[0]:
+            x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
+            patch = image[y - 8 : y + 9, x - 8 : x + 9].astype(np.float64)
+            dx, dy = np.meshgrid(np.arange(-8, 9), np.arange(-8, 9), indexing="xy")
+            theta = np.arctan2((dy * patch).sum(), (dx * patch).sum())
+            b = int(np.round(theta * 30 / (2 * np.pi))) % 30
+            if b == 0:
+                same.append(i)
+        assert len(same) >= 2
+        np.testing.assert_array_equal(
+            np.asarray(wu)[same], np.asarray(ws)[same]
+        )
