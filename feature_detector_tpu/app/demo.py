@@ -280,6 +280,13 @@ def main(argv=None):
         "--demo", default="all",
         choices=["all", "points", "descriptor", "lines", "nn", "vo"],
     )
+    parser.add_argument(
+        "--show", action="store_true",
+        help="open interactive windows for every output and block on a "
+        "keypress, like the reference demos (Visualizor2D ShowImage + "
+        "WaitKey(0), test_feature_point_detector.cpp:104-111); headless "
+        "hosts fall back to the PNG dumps",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -304,6 +311,16 @@ def main(argv=None):
     if args.demo in ("all", "vo"):
         demo_vo(args.out)
     print(f"outputs in {args.out}")
+    if args.show:
+        from ..io.images import load_rgb
+        from ..io.visualize import interactive_available, show_image, wait_key
+
+        for name in sorted(os.listdir(args.out)):
+            if name.endswith(".png"):
+                show_image(name[:-4].replace("_", " "), load_rgb(os.path.join(args.out, name)))
+        if interactive_available():
+            print("press any key in a window to exit (WaitKey(0))")
+        wait_key(0)
 
 
 if __name__ == "__main__":

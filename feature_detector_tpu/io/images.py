@@ -28,6 +28,13 @@ def load_gray(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def load_rgb(path: str) -> np.ndarray:
+    """Load an image file as HxWx3 uint8 RGB."""
+    if not _HAVE_PIL:
+        raise RuntimeError("PIL unavailable; cannot decode images")
+    return np.asarray(_PILImage.open(path).convert("RGB"), dtype=np.uint8)
+
+
 def save_image(path: str, array: np.ndarray) -> None:
     if not _HAVE_PIL:
         raise RuntimeError("PIL unavailable; cannot encode images")
